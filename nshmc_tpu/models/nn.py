@@ -1,0 +1,116 @@
+"""Shared NN primitives for the score networks.
+
+TPU-native equivalents of the reference helpers (ref: guided_diffusion/nn.py):
+  timestep_embedding (nn.py:103-121) — sinusoidal features
+  GroupNorm32        (nn.py:17-19)   — normalization in float32 islands
+  zero-init convs    (nn.py:68-74)   — zero_module final projections
+
+Everything is NHWC and dtype-polymorphic: `param_dtype` holds master weights
+(float32 for parity with the ported checkpoints), `dtype` is the compute type
+(bfloat16 on TPU for MXU throughput). Norms always reduce in float32,
+mirroring the reference's fp32 GroupNorm islands.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding, [cos | sin] ordering matching the
+    reference (guided_diffusion/nn.py:103-121). timesteps: (B,) float."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32 regardless of activation dtype
+    (ref: guided_diffusion/nn.py:17-19)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1 conv, NHWC. `zero_init` mirrors the reference's zero_module
+    output layers (guided_diffusion/nn.py:68-74)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(
+            self.features,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+def avg_pool_2x(x):
+    """2x2 stride-2 average pool, NHWC (ref: unet_ffhq.py Downsample avg_pool path)."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def nearest_upsample_2x(x):
+    """Nearest-neighbor 2x upsample, NHWC (ref: unet_ffhq.py Upsample)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

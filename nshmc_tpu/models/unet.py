@@ -1,0 +1,377 @@
+"""ADM-style U-Net score network, TPU-native (Flax, NHWC).
+
+Architecture mirrors the reference pixel prior exactly
+(ref: guided_diffusion/unet_ffhq.py:467-734 `UNetModel`, configured by
+configs/config_ffhq.yml:17-35: 256^2, ch=128, mult (1,1,2,2,4,4),
+num_res_blocks=1, attention at ds16, 4 heads / 64 head-channels,
+scale-shift norm, resblock up/down, learn_sigma -> 6 output channels), and
+also instantiates the LDM latent U-Net (ldm/modules/diffusionmodules/
+openaimodel.py:413, configs/config_ffhq_latent.yml:42-58: 64^2, ch=224,
+mult (1,2,3,4), attention at ds 8/4/2, 32 head-channels).
+
+TPU-first choices:
+  - NHWC layout end-to-end so convs hit the MXU conv path without layout
+    transposes; the weight-port script transposes torch NCHW checkpoints.
+  - dtype-polymorphic compute (bfloat16 torso) with float32 GroupNorm
+    islands matching the reference's GroupNorm32 (nn.py:17-19).
+  - per-unit `nn.remat` instead of the reference's CheckpointFunction
+    (nn.py:124-176): each encoder/middle/decoder unit recomputes in the
+    backward pass, making HMC's backprop through 3 chained U-Nets at 256^2
+    memory-feasible.
+  - attention via the fused kernel in ops/attention.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .nn import (
+    Conv2d,
+    Dense,
+    GroupNorm32,
+    avg_pool_2x,
+    nearest_upsample_2x,
+    silu,
+    timestep_embedding,
+)
+from ..ops.attention import attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    image_size: int = 256
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 6  # learn_sigma -> [eps | sigma]
+    num_res_blocks: int = 1
+    attention_ds: Tuple[int, ...] = (16,)
+    dropout: float = 0.0
+    channel_mult: Tuple[float, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 4
+    num_head_channels: int = 64
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    remat: bool = True
+
+    @classmethod
+    def from_model_yaml(cls, **kw) -> "UNetConfig":
+        """Build from the reference model-config keys
+        (ref: guided_diffusion/unet_ffhq.py:25-91 `create_model`)."""
+        image_size = kw.get("image_size", 256)
+        channel_mult = kw.get("channel_mult", "") or ""
+        if channel_mult == "":
+            channel_mult = {
+                512: (0.5, 1, 1, 2, 2, 4, 4),
+                256: (1, 1, 2, 2, 4, 4),
+                128: (1, 1, 2, 3, 4),
+                64: (1, 2, 3, 4),
+            }[image_size]
+        elif isinstance(channel_mult, str):
+            channel_mult = tuple(int(m) for m in channel_mult.split(","))
+        attn = kw.get("attention_resolutions", "16")
+        if isinstance(attn, int):
+            attn = [attn]
+        elif isinstance(attn, str):
+            attn = [int(r) for r in attn.split(",")]
+        attention_ds = tuple(image_size // int(r) for r in attn)
+        return cls(
+            image_size=image_size,
+            in_channels=kw.get("in_channels", 3),
+            model_channels=kw.get("num_channels", 128),
+            out_channels=6 if kw.get("learn_sigma", False) else 3,
+            num_res_blocks=kw.get("num_res_blocks", 1),
+            attention_ds=attention_ds,
+            dropout=kw.get("dropout", 0.0),
+            channel_mult=tuple(channel_mult),
+            num_classes=1000 if kw.get("class_cond", False) else None,
+            num_heads=kw.get("num_heads", 4),
+            num_head_channels=kw.get("num_head_channels", -1),
+            num_heads_upsample=kw.get("num_heads_upsample", -1),
+            use_scale_shift_norm=kw.get("use_scale_shift_norm", False),
+            resblock_updown=kw.get("resblock_updown", False),
+        )
+
+
+class ResBlock(nn.Module):
+    """Residual block with timestep conditioning
+    (ref: unet_ffhq.py:214-328). `up`/`down` fold the 2x resampling into the
+    block (resblock_updown path)."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = GroupNorm32(param_dtype=self.param_dtype, name="in_norm")(x)
+        h = silu(h)
+        if self.up:
+            h = nearest_upsample_2x(h)
+            x = nearest_upsample_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = Conv2d(self.out_channels, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="in_conv")(h)
+
+        emb_out = Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="emb_proj",
+        )(silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+        h = silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv2d(self.out_channels, zero_init=True, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="out_conv")(h)
+
+        if in_ch != self.out_channels:
+            x = Conv2d(self.out_channels, kernel=1, padding=0, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="skip")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened tokens
+    (ref: unet_ffhq.py:330-460; QKVAttentionLegacy numerics: qkv layout is
+    heads-major with (q|k|v) within each head, q/k pre-scaled by ch^-1/4,
+    softmax in float32)."""
+
+    num_heads: int = 4
+    num_head_channels: int = -1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert c % self.num_head_channels == 0
+            heads = c // self.num_head_channels
+        ch = c // heads
+
+        h = GroupNorm32(param_dtype=self.param_dtype, name="norm")(x)
+        tokens = h.reshape(b, hh * ww, c)
+        qkv = Dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="qkv")(tokens)
+        qkv = qkv.reshape(b, hh * ww, heads, 3, ch)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        a = attention(q, k, v)
+        a = a.reshape(b, hh * ww, c)
+        a = Dense(c, zero_init=True, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="proj_out")(a)
+        return x + a.reshape(b, hh, ww, c)
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return Conv2d(self.out_channels, stride=2, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv")(x)
+        return avg_pool_2x(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nearest_upsample_2x(x)
+        if self.use_conv:
+            x = Conv2d(self.out_channels, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)
+        return x
+
+
+class EncoderUnit(nn.Module):
+    """One encoder stage: ResBlock (+ optional attention)."""
+
+    out_channels: int
+    use_attn: bool
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, emb):
+        cfg = self.config
+        h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
+                     dropout=cfg.dropout, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="res")(h, emb)
+        if self.use_attn:
+            h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="attn")(h)
+        return h
+
+
+class MiddleUnit(nn.Module):
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, emb):
+        cfg = self.config
+        ch = h.shape[-1]
+        h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
+                     dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="res1")(h, emb)
+        h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="attn")(h)
+        h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
+                     dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="res2")(h, emb)
+        return h
+
+
+class DecoderUnit(nn.Module):
+    """One decoder stage: ResBlock on the skip-concat input (+ attention,
+    + optional up-resampling ResBlock/Upsample)."""
+
+    out_channels: int
+    use_attn: bool
+    do_up: bool
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, emb):
+        cfg = self.config
+        h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
+                     dropout=cfg.dropout, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="res")(h, emb)
+        if self.use_attn:
+            heads_attr = cfg.num_heads_upsample if cfg.num_heads_upsample != -1 \
+                else cfg.num_heads
+            h = AttentionBlock(heads_attr, cfg.num_head_channels,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="attn")(h)
+        if self.do_up:
+            if cfg.resblock_updown:
+                h = ResBlock(h.shape[-1], cfg.use_scale_shift_norm, up=True,
+                             dropout=cfg.dropout, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="upres")(h, emb)
+            else:
+                h = Upsample(h.shape[-1], cfg.conv_resample, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="upsample")(h)
+        return h
+
+
+class UNetModel(nn.Module):
+    """The full ADM U-Net (ref: unet_ffhq.py:467-734).
+
+    Input/output are NHWC; timesteps are float (B,). Output channels follow
+    the config (6 with learn_sigma — callers slice [..., :3] for epsilon,
+    matching algos/unconditional.py:18-19).
+    """
+
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, y=None, deterministic: bool = True):
+        cfg = self.config
+        assert (y is not None) == (cfg.num_classes is not None)
+
+        Enc = nn.remat(EncoderUnit) if cfg.remat else EncoderUnit
+        Mid = nn.remat(MiddleUnit) if cfg.remat else MiddleUnit
+        Dec = nn.remat(DecoderUnit) if cfg.remat else DecoderUnit
+        DownRes = nn.remat(ResBlock) if cfg.remat else ResBlock
+
+        time_dim = cfg.model_channels * 4
+        emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = Dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="time_embed_1")(emb)
+        emb = Dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="time_embed_2")(silu(emb))
+        if cfg.num_classes is not None:
+            emb = emb + nn.Embed(cfg.num_classes, time_dim,
+                                 param_dtype=self.param_dtype, name="label_emb")(y)
+
+        h = x.astype(self.dtype)
+        h = Conv2d(int(cfg.channel_mult[0] * cfg.model_channels),
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="in_conv")(h)
+
+        # --- encoder ---
+        hs = [h]
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            out_ch = int(mult * cfg.model_channels)
+            for i in range(cfg.num_res_blocks):
+                h = Enc(out_ch, ds in cfg.attention_ds, cfg,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"down_{level}_{i}")(h, emb)
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                if cfg.resblock_updown:
+                    h = DownRes(h.shape[-1], cfg.use_scale_shift_norm, down=True,
+                                dropout=cfg.dropout, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name=f"down_{level}_downres")(h, emb)
+                else:
+                    h = Downsample(h.shape[-1], cfg.conv_resample,
+                                   dtype=self.dtype, param_dtype=self.param_dtype,
+                                   name=f"down_{level}_downsample")(h)
+                hs.append(h)
+                ds *= 2
+
+        # --- middle ---
+        h = Mid(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="middle")(h, emb)
+
+        # --- decoder ---
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            out_ch = int(mult * cfg.model_channels)
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                do_up = (level != 0) and (i == cfg.num_res_blocks)
+                h = Dec(out_ch, ds in cfg.attention_ds, do_up, cfg,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"up_{level}_{i}")(h, emb)
+                if do_up:
+                    ds //= 2
+        assert not hs
+
+        h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+        h = silu(h)
+        h = Conv2d(cfg.out_channels, zero_init=True, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="out_conv")(h)
+        return h.astype(jnp.float32)

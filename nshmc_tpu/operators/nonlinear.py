@@ -1,0 +1,151 @@
+"""Nonlinear forward operators: phase retrieval and HDR clipping.
+
+Re-designs of the reference operators:
+  PhaseRetrievalOperator (ref: obs_functions/Hfuncs.py:318-367) — |FFT(pad(x))|
+    with the fastmri centered-FFT convention (obs_functions/fastmri_utils.py:67-117)
+  HDR (ref: obs_functions/Hfuncs.py:406-445) — clip(x / 0.5, -1, 1)
+
+Both expose `proj` prox operators and `eq_var` measurement-variance rescalers
+used by some samplers.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from .base import Operator
+
+
+def fft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered orthonormal 2D FFT over the last two axes
+    (ref: fastmri_utils.py:67-90: ifftshift -> fftn(ortho) -> fftshift)."""
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.fftn(x, axes=(-2, -1), norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered orthonormal 2D inverse FFT (ref: fastmri_utils.py:92-117)."""
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.ifftn(x, axes=(-2, -1), norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+class PhaseRetrieval(Operator):
+    """Oversampled Fourier-magnitude measurement.
+
+    H(x) = |FFT2c(zero_pad(x))| on each channel; measurement shape is
+    (B, C * (d + 2*pad)^2) flattened channel-major. pad = oversample/8 * 256
+    (ref: Hfuncs.py:320-321).
+    """
+
+    _channels: int = struct.field(pytree_node=False)
+    _img_dim: int = struct.field(pytree_node=False)
+    _pad: int = struct.field(pytree_node=False)
+
+    @property
+    def channels(self):
+        return self._channels
+
+    @property
+    def img_dim(self):
+        return self._img_dim
+
+    @property
+    def pad(self):
+        return self._pad
+
+    @classmethod
+    def create(cls, channels: int = 3, img_dim: int = 256, oversample: float = 2.0):
+        return cls(
+            _channels=channels,
+            _img_dim=img_dim,
+            _pad=int((oversample / 8.0) * 256),
+        )
+
+    def is_linear(self):
+        return False
+
+    def _to_img(self, vec):
+        b = vec.shape[0]
+        return vec.reshape(b, self._channels, self._img_dim, self._img_dim)
+
+    def _pad_img(self, img):
+        p = self._pad
+        return jnp.pad(img, ((0, 0), (0, 0), (p, p), (p, p)))
+
+    def _crop(self, img):
+        p = self._pad
+        return img[:, :, p:-p, p:-p]
+
+    def H(self, vec):
+        padded = self._pad_img(self._to_img(vec)).astype(jnp.complex64)
+        amplitude = jnp.abs(fft2c(padded))
+        return amplitude.reshape(vec.shape[0], -1)
+
+    def H_pinv(self, vec):
+        b = vec.shape[0]
+        big = self._img_dim + 2 * self._pad
+        y = vec.reshape(b, self._channels, big, big).astype(jnp.complex64)
+        x = jnp.abs(ifft2c(y))
+        return self._crop(x).reshape(b, -1)
+
+    def proj(self, x_vec, y_vec, alpha_obs: float = 1.0, eps: float = 1e-8):
+        """Magnitude-projection prox (ref: Hfuncs.py:347-360)."""
+        b = x_vec.shape[0]
+        big = self._img_dim + 2 * self._pad
+        y = y_vec.reshape(b, self._channels, big, big) * np.sqrt(alpha_obs)
+        fx = fft2c(self._pad_img(self._to_img(x_vec)).astype(jnp.complex64))
+        fx_prox = fx * y / (jnp.abs(fx) + eps)
+        prox = jnp.real(self._crop(ifft2c(fx_prox)))
+        return prox.reshape(b, -1)
+
+    def eq_var(self, var):
+        big = self._img_dim + 2 * self._pad
+        return var * big**2 / self._img_dim**2
+
+
+class HDR(Operator):
+    """Saturating dynamic-range compression: clip(x / 0.5, -1, 1)
+    (ref: Hfuncs.py:406-445)."""
+
+    _channels: int = struct.field(pytree_node=False, default=3)
+    _img_dim: int = struct.field(pytree_node=False, default=256)
+
+    @property
+    def channels(self):
+        return self._channels
+
+    @property
+    def img_dim(self):
+        return self._img_dim
+
+    @classmethod
+    def create(cls, channels: int = 3, img_dim: int = 256):
+        return cls(_channels=channels, _img_dim=img_dim)
+
+    def is_linear(self):
+        return False
+
+    def H(self, vec):
+        return jnp.clip(vec.reshape(vec.shape[0], -1) / 0.5, -1.0, 1.0)
+
+    def H_pinv(self, vec):
+        return vec.reshape(vec.shape[0], -1)
+
+    def proj(self, x_vec, y_vec, alpha_obs: float = 1.0, thre: float = 1.0):
+        """Selective replacement prox (ref: Hfuncs.py:424-440)."""
+        x, y = x_vec, y_vec
+        out = x
+        mask1 = (jnp.abs(y) >= thre) & (jnp.abs(x) < thre / 2)
+        if alpha_obs == 1.0:
+            mask2 = jnp.abs(y) < 1
+        else:
+            mask2 = jnp.abs(y) < thre / 2
+        out = jnp.where(mask1, y / 2, out)
+        out = jnp.where(mask2, y / 2, out)
+        return out
+
+    def eq_var(self, var):
+        return var / 4

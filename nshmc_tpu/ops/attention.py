@@ -1,0 +1,99 @@
+"""Spatial self-attention for the U-Net attention blocks.
+
+The reference computes full quadratic attention over flattened spatial tokens
+(guided_diffusion/unet_ffhq.py:399-460 QKVAttentionLegacy; token counts are
+256 at pixel ds16 and 64/256/1024 for the latent U-Net). Numerics match the
+reference: q and k are pre-scaled by ch^(-1/4) and the softmax runs in
+float32.
+
+Two paths:
+  - `attention_xla`: einsum attention; at these token counts XLA already fuses
+    this well onto the MXU.
+  - `attention_pallas`: a fused single-kernel attention (VMEM-resident,
+    online-softmax-free since T <= 1024 fits easily) used on TPU for the hot
+    256-token / 512-channel pixel shape.
+`attention` dispatches by platform/shape.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU-only; keep import soft for CPU test runs
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q, k, v: (B, T, H, ch) -> (B, T, H, ch)."""
+    ch = q.shape[-1]
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshc->bthc", weights, v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
+    # Block shapes: (T, ch) per (batch*head) grid step; full T fits in VMEM.
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    ch = q.shape[-1]
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    logits = jax.lax.dot_general(
+        (q * scale), (k * scale),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o_ref[:] = jax.lax.dot_general(
+        weights, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused attention: one grid step per (batch, head), everything in VMEM.
+
+    Valid for T*ch small enough to be VMEM-resident (T <= 1024, ch <= 128 —
+    all shapes in this framework). Returns (B, T, H, ch).
+    """
+    b, t, h, ch = q.shape
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, ch)
+
+    qh, kh, vh = to_bh(q), to_bh(k), to_bh(v)
+    spec = pl.BlockSpec((1, t, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        lambda qr, kr, vr, orf: _attn_kernel(
+            qr.at[0], kr.at[0], vr.at[0], orf.at[0]
+        ),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, t, ch), q.dtype),
+    )(qh, kh, vh)
+    return out.reshape(b, h, t, ch).transpose(0, 2, 1, 3)
+
+
+def attention(q, k, v, use_pallas: bool | None = None):
+    """Dispatch fused attention. q/k/v: (B, T, H, ch)."""
+    if use_pallas is None:
+        use_pallas = (
+            _HAS_PALLAS
+            and jax.default_backend() == "tpu"
+            and q.shape[1] * q.shape[3] * 4 <= 4 * 1024 * 1024
+        )
+    if use_pallas:
+        return attention_pallas(q, k, v)
+    return attention_xla(q, k, v)
