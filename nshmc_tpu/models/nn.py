@@ -6,14 +6,17 @@ TPU-native equivalents of the reference helpers (ref: guided_diffusion/nn.py):
   zero-init convs    (nn.py:68-74)   — zero_module final projections
 
 Everything is NHWC and dtype-polymorphic: `param_dtype` holds master weights
-(float32 for parity with the ported checkpoints), `dtype` is the compute type
+(float32 for parity with ported checkpoints), `dtype` is the compute type
 (bfloat16 on TPU for MXU throughput). Norms always reduce in float32,
 mirroring the reference's fp32 GroupNorm islands.
+
+conv/dense are factory functions returning plain nn.Conv/nn.Dense so the
+parameter tree stays flat (one level per named layer) for weight porting.
 """
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -36,75 +39,53 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb
 
 
-class GroupNorm32(nn.Module):
+class GroupNorm32(nn.GroupNorm):
     """GroupNorm computed in float32 regardless of activation dtype
-    (ref: guided_diffusion/nn.py:17-19)."""
-
-    num_groups: int = 32
-    epsilon: float = 1e-5
-    param_dtype: Dtype = jnp.float32
+    (ref: guided_diffusion/nn.py:17-19). Param names stay 'scale'/'bias'."""
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        y = super().__call__(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+def groupnorm32(name: str, param_dtype: Dtype = jnp.float32) -> GroupNorm32:
+    return GroupNorm32(
+        num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+        param_dtype=param_dtype, name=name,
+    )
+
+
+def conv(features: int, kernel: int = 3, stride: int = 1, padding: int = 1,
+         zero_init: bool = False, dtype: Dtype = jnp.float32,
+         param_dtype: Dtype = jnp.float32, name: str | None = None) -> nn.Conv:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        kernel_init=init,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name=name,
+    )
+
+
+def dense(features: int, zero_init: bool = False, dtype: Dtype = jnp.float32,
+          param_dtype: Dtype = jnp.float32, name: str | None = None) -> nn.Dense:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Dense(
+        features, kernel_init=init, dtype=dtype, param_dtype=param_dtype, name=name
+    )
 
 
 def silu(x):
     return jax.nn.silu(x)
 
 
-class Conv2d(nn.Module):
-    """3x3/1x1 conv, NHWC. `zero_init` mirrors the reference's zero_module
-    output layers (guided_diffusion/nn.py:68-74)."""
-
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    padding: int = 1
-    zero_init: bool = False
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_init=init,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
-
-
-class Dense(nn.Module):
-    features: int
-    zero_init: bool = False
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        return nn.Dense(
-            self.features,
-            kernel_init=init,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
-
-
 def avg_pool_2x(x):
-    """2x2 stride-2 average pool, NHWC (ref: unet_ffhq.py Downsample avg_pool path)."""
+    """2x2 stride-2 average pool, NHWC (ref: unet_ffhq.py Downsample)."""
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 

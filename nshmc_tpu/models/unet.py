@@ -29,9 +29,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .nn import (
-    Conv2d,
-    Dense,
-    GroupNorm32,
+    conv,
+    dense,
+    groupnorm32,
     avg_pool_2x,
     nearest_upsample_2x,
     silu,
@@ -116,7 +116,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = GroupNorm32(param_dtype=self.param_dtype, name="in_norm")(x)
+        h = groupnorm32("in_norm", self.param_dtype)(x)
         h = silu(h)
         if self.up:
             h = nearest_upsample_2x(h)
@@ -124,10 +124,10 @@ class ResBlock(nn.Module):
         elif self.down:
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = Conv2d(self.out_channels, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="in_conv")(h)
+        h = conv(self.out_channels, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="in_conv")(h)
 
-        emb_out = Dense(
+        emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             dtype=self.dtype, param_dtype=self.param_dtype, name="emb_proj",
         )(silu(emb))
@@ -135,20 +135,20 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+            h = groupnorm32("out_norm", self.param_dtype)(h)
             h = h * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+            h = groupnorm32("out_norm", self.param_dtype)(h)
         h = silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = Conv2d(self.out_channels, zero_init=True, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="out_conv")(h)
+        h = conv(self.out_channels, zero_init=True, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="out_conv")(h)
 
         if in_ch != self.out_channels:
-            x = Conv2d(self.out_channels, kernel=1, padding=0, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="skip")(x)
+            x = conv(self.out_channels, kernel=1, padding=0, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="skip")(x)
         return x + h
 
 
@@ -173,15 +173,15 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         ch = c // heads
 
-        h = GroupNorm32(param_dtype=self.param_dtype, name="norm")(x)
+        h = groupnorm32("norm", self.param_dtype)(x)
         tokens = h.reshape(b, hh * ww, c)
-        qkv = Dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
+        qkv = dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="qkv")(tokens)
         qkv = qkv.reshape(b, hh * ww, heads, 3, ch)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         a = attention(q, k, v)
         a = a.reshape(b, hh * ww, c)
-        a = Dense(c, zero_init=True, dtype=self.dtype,
+        a = dense(c, zero_init=True, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="proj_out")(a)
         return x + a.reshape(b, hh, ww, c)
 
@@ -195,8 +195,8 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return Conv2d(self.out_channels, stride=2, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="conv")(x)
+            return conv(self.out_channels, stride=2, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv")(x)
         return avg_pool_2x(x)
 
 
@@ -210,8 +210,8 @@ class Upsample(nn.Module):
     def __call__(self, x):
         x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = Conv2d(self.out_channels, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="conv")(x)
+            x = conv(self.out_channels, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="conv")(x)
         return x
 
 
@@ -316,18 +316,18 @@ class UNetModel(nn.Module):
 
         time_dim = cfg.model_channels * 4
         emb = timestep_embedding(timesteps, cfg.model_channels)
-        emb = Dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        emb = dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="time_embed_1")(emb)
-        emb = Dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        emb = dense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="time_embed_2")(silu(emb))
         if cfg.num_classes is not None:
             emb = emb + nn.Embed(cfg.num_classes, time_dim,
                                  param_dtype=self.param_dtype, name="label_emb")(y)
 
         h = x.astype(self.dtype)
-        h = Conv2d(int(cfg.channel_mult[0] * cfg.model_channels),
-                   dtype=self.dtype, param_dtype=self.param_dtype,
-                   name="in_conv")(h)
+        h = conv(int(cfg.channel_mult[0] * cfg.model_channels),
+                 dtype=self.dtype, param_dtype=self.param_dtype,
+                 name="in_conv")(h)
 
         # --- encoder ---
         hs = [h]
@@ -370,8 +370,8 @@ class UNetModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        h = GroupNorm32(param_dtype=self.param_dtype, name="out_norm")(h)
+        h = groupnorm32("out_norm", self.param_dtype)(h)
         h = silu(h)
-        h = Conv2d(cfg.out_channels, zero_init=True, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="out_conv")(h)
+        h = conv(cfg.out_channels, zero_init=True, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="out_conv")(h)
         return h.astype(jnp.float32)
