@@ -1,0 +1,244 @@
+"""Noise-space HMC engine.
+
+TPU-native re-design of the reference sampler (ref: main_sampling.py:660-774
+`hmc`; latent variant main_sampling_latent.py:623-762 `hmc_latent`):
+the leapfrog integrator is a `lax.scan`, the accept/reject + annealing +
+step-size-backoff control flow is a `lax.while_loop` over a chain-state
+pytree, and the whole sampler is one jitted program per chain, `vmap`ed over
+chains (and shard_mapped across devices by parallel/chains.py).
+
+Semantics matched to the reference:
+  - epoch = ACCEPTED-proposal count; rejected proposals retry the same epoch
+    (the reference's `while` + `continue`, main_sampling.py:681,727,749)
+  - measurement-noise annealing sigma_y = sigma_0 + 1.6*(1 - e/E)^2 during
+    the first `epochs` epochs, then sigma_0 (main_sampling.py:683-689)
+  - at e == epochs, (tau, eps) switch to (0.1, 0.01) once (:686-689)
+  - after 2 consecutive rejections, tau and eps decay by 0.95 (and keep
+    decaying each further rejection — the reference never resets the
+    counter; the latent variant decays by 0.9 and resets, :743-749 vs
+    main_sampling_latent.py:735-741)
+  - L = floor(tau_0/epsilon_0) leapfrog steps, computed ONCE up front
+    (main_sampling.py:664) — later tau/eps changes alter only the step size
+  - potential U = ||x||^2/2 + ||y0 - H(decode(x))||^2 / (2 sigma_y^2);
+    kinetic = ||p||^2 / (2 m)  (main_sampling.py:697)
+  - the stored sample for an accepted proposal is the DECODED image from the
+    proposal's last energy evaluation (main_sampling.py:724-726)
+
+Documented improvement over the reference: the MH accept is PER-CHAIN (the
+reference draws one scalar coin for the whole batch, main_sampling.py:719-720,
+which couples chains; parity runs use 1 chain).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    """Static sampler hyperparameters (reference defaults)."""
+
+    sigma_0: float = 0.1  # measurement noise (already x2-scaled by caller)
+    tau: float = 1.0
+    epsilon: float = 0.05
+    m: float = 1.0  # momentum mass (opt.m)
+    epochs: int = 60  # annealing epochs
+    sampling: int = 20  # burn-in = sampling, then `sampling` kept samples
+    anneal_scale: float = 1.6
+    anneal_power: float = 2.0
+    post_tau: float = 0.1
+    post_epsilon: float = 0.01
+    backoff: float = 0.95
+    reset_rejected_after_backoff: bool = False
+    max_attempts: int = 1000
+
+    @property
+    def n_leapfrog(self) -> int:
+        return max(1, math.floor(self.tau / self.epsilon))
+
+    @property
+    def total_epochs(self) -> int:
+        return self.epochs + 2 * self.sampling
+
+
+class ChainState(struct.PyTreeNode):
+    """Per-chain sampler state (a pytree; leading axis over chains after
+    vmap). Shapes: x (H, W, C) or latent (h, w, c); samples (S, H, W, C)."""
+
+    x: jnp.ndarray
+    key: jnp.ndarray
+    epoch: jnp.ndarray  # int32, accepted count
+    tau: jnp.ndarray
+    epsilon: jnp.ndarray
+    rejected: jnp.ndarray  # int32, consecutive rejections
+    attempts: jnp.ndarray  # int32
+    accepted: jnp.ndarray  # int32 (== epoch, kept for clarity in stats)
+    samples: jnp.ndarray  # (sampling, *decoded_shape)
+    last_decoded: jnp.ndarray  # decoded image of last accepted proposal
+    last_loss: jnp.ndarray  # data-fit loss at last accepted proposal
+    sigma_y: jnp.ndarray  # current annealed measurement sigma
+
+
+def init_chain_state(key, cfg: HMCConfig, x_shape, decoded_shape=None):
+    """Fresh chain: x_T ~ N(0, I) (ref: main_sampling.py:460-466)."""
+    decoded_shape = decoded_shape or x_shape
+    kx, key = jax.random.split(key)
+    return ChainState(
+        x=jax.random.normal(kx, x_shape, jnp.float32),
+        key=key,
+        epoch=jnp.asarray(0, jnp.int32),
+        tau=jnp.asarray(cfg.tau, jnp.float32),
+        epsilon=jnp.asarray(cfg.epsilon, jnp.float32),
+        rejected=jnp.asarray(0, jnp.int32),
+        attempts=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+        samples=jnp.zeros((cfg.sampling,) + tuple(decoded_shape), jnp.float32),
+        last_decoded=jnp.zeros(decoded_shape, jnp.float32),
+        last_loss=jnp.asarray(jnp.inf, jnp.float32),
+        sigma_y=jnp.asarray(cfg.sigma_0 + cfg.anneal_scale, jnp.float32),
+    )
+
+
+LossFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+# loss_fn(x) -> (data_loss, decoded_image); differentiable in x.
+
+
+def make_pixel_loss_fn(decode, operator, y0) -> LossFn:
+    """U_data(x) = ||y0 - H(decode(x))||^2 for a single chain
+    (ref: main_sampling.py:693-694). y0: (d_y,)."""
+
+    def loss_fn(x):
+        x0 = decode(x[None])
+        residual = y0 - operator.H_img(x0)[0]
+        return jnp.sum(residual**2), x0[0]
+
+    return loss_fn
+
+
+def _sigma_y(cfg: HMCConfig, epoch):
+    e = epoch.astype(jnp.float32)
+    annealed = cfg.sigma_0 + cfg.anneal_scale * (
+        1.0 - e / cfg.epochs
+    ) ** cfg.anneal_power
+    return jnp.where(epoch < cfg.epochs, annealed, cfg.sigma_0)
+
+
+def hmc_attempt(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainState:
+    """One proposal: leapfrog trajectory + per-chain MH accept."""
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    key, k_mom, k_acc = jax.random.split(state.key, 3)
+
+    sigma_y = _sigma_y(cfg, state.epoch)
+    inv2s2 = 1.0 / (2.0 * sigma_y**2)
+    switch = (state.epoch >= cfg.epochs) & (state.tau > cfg.post_tau)
+    tau = jnp.where(switch, cfg.post_tau, state.tau)
+    eps = jnp.where(switch, cfg.post_epsilon, state.epsilon)
+    m = cfg.m
+
+    x = state.x
+    p0 = jax.random.normal(k_mom, x.shape, x.dtype) * jnp.sqrt(m)
+    (loss0, _dec0), grad0 = vg(x)
+    h0 = (
+        0.5 * jnp.sum(x**2)
+        + inv2s2 * loss0
+        + 0.5 * jnp.sum(p0**2) / m
+    )
+
+    # first momentum half-step (ref: main_sampling.py:702)
+    p = p0 - (eps / 2.0) * (x + inv2s2 * grad0)
+
+    def leapfrog(carry, _):
+        xp, p, _, _, _ = carry
+        xp = xp + (eps / m) * p
+        (loss, dec), grad = vg(xp)
+        p = p - eps * (xp + inv2s2 * grad)
+        return (xp, p, loss, dec, grad), None
+
+    init = (x, p, loss0, _dec0, grad0)
+    (xp, p, loss, dec, grad), _ = jax.lax.scan(
+        leapfrog, init, None, length=cfg.n_leapfrog
+    )
+    # undo the half-over-step of the final iteration (ref: :715)
+    p = p + (eps / 2.0) * (xp + inv2s2 * grad)
+
+    h1 = (
+        0.5 * jnp.sum(xp**2)
+        + inv2s2 * loss
+        + 0.5 * jnp.sum(p**2) / m
+    )
+    log_ratio = -(h1 - h0)
+    u = jax.random.uniform(k_acc)
+    accept = jnp.log(u) < jnp.minimum(log_ratio, 0.0)
+    # NaN energies (diverged trajectory) reject naturally:
+    accept = accept & jnp.isfinite(log_ratio)
+
+    # --- accepted branch values --------------------------------------------
+    sample_idx = state.epoch - (cfg.epochs + cfg.sampling)
+    write_sample = accept & (sample_idx >= 0)
+    idx = jnp.clip(sample_idx, 0, cfg.sampling - 1)
+    new_samples = jax.lax.cond(
+        write_sample,
+        lambda s: jax.lax.dynamic_update_slice(
+            s, dec[None], (idx,) + (0,) * dec.ndim
+        ),
+        lambda s: s,
+        state.samples,
+    )
+
+    # --- rejected branch values --------------------------------------------
+    rejected = state.rejected + 1
+    do_backoff = rejected >= 2
+    tau_r = jnp.where(do_backoff, tau * cfg.backoff, tau)
+    eps_r = jnp.where(do_backoff, eps * cfg.backoff, eps)
+    rejected = jnp.where(
+        do_backoff & cfg.reset_rejected_after_backoff,
+        0,
+        rejected,
+    )
+
+    return state.replace(
+        x=jnp.where(accept, xp, x),
+        key=key,
+        epoch=state.epoch + accept.astype(jnp.int32),
+        tau=jnp.where(accept, tau, tau_r),
+        epsilon=jnp.where(accept, eps, eps_r),
+        rejected=jnp.where(accept, 0, rejected),
+        attempts=state.attempts + 1,
+        accepted=state.accepted + accept.astype(jnp.int32),
+        samples=new_samples,
+        last_decoded=jnp.where(accept, dec, state.last_decoded),
+        last_loss=jnp.where(accept, loss, state.last_loss),
+        sigma_y=sigma_y,
+    )
+
+
+def run_chain(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainState:
+    """Run one chain to completion under lax.while_loop (accepted-count
+    semantics with a max_attempts safety bound)."""
+
+    def cond(s):
+        return (s.epoch < cfg.total_epochs) & (s.attempts < cfg.max_attempts)
+
+    return jax.lax.while_loop(cond, lambda s: hmc_attempt(loss_fn, cfg, s), state)
+
+
+def run_hmc(
+    loss_fn: LossFn,
+    cfg: HMCConfig,
+    states: ChainState,
+) -> ChainState:
+    """vmapped multi-chain HMC; `states` has a leading chain axis. Each chain
+    draws its own momentum/accept randomness and accepts independently."""
+    return jax.vmap(lambda s: run_chain(loss_fn, cfg, s))(states)
+
+
+def init_chains(key, cfg: HMCConfig, n_chains: int, x_shape, decoded_shape=None):
+    keys = jax.random.split(key, n_chains)
+    return jax.vmap(
+        lambda k: init_chain_state(k, cfg, x_shape, decoded_shape)
+    )(keys)

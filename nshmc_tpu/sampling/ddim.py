@@ -1,0 +1,71 @@
+"""Differentiable few-step DDIM decoder.
+
+The TPU-native equivalent of the reference inner loop
+(ref: main_sampling.py:898-915 `iterative_sampling` dispatching
+algos/unconditional.py:9-28): a single `lax.scan` over the (t, t_next)
+ladder inside one jitted function. Its `jax.vjp` is the gradient oracle for
+noise-space HMC — reverse-mode AD through the scan replays the U-Net
+backward per step, with activation memory bounded by the U-Net's internal
+remat (models/unet.py).
+
+`model_fn(x_nhwc, t) -> eps` may return 6 channels (learn_sigma); the first
+`x.shape[-1]` are used (ref: algos/unconditional.py:18-19).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedules import DiffusionSchedule, DDIMSequence
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def ddim_step(model_fn: ModelFn, schedule: DiffusionSchedule,
+              xt: jnp.ndarray, t: jnp.ndarray, t_next: jnp.ndarray):
+    """One deterministic DDIM (eta=0) step: returns (xt_next, x0_t).
+
+    x0_t = clip((xt - eps*sqrt(1-at)) / sqrt(at), -1, 1)
+    xt_next = sqrt(at_next)*x0_t + sqrt(1-at_next)*eps
+    (ref: algos/unconditional.py:21-28)
+    """
+    c = xt.shape[-1]
+    at = schedule.alpha_bar(t)
+    at_next = schedule.alpha_bar(t_next)
+    tb = jnp.full((xt.shape[0],), t, dtype=jnp.float32)
+    et = model_fn(xt, tb)[..., :c]
+    x0_t = (xt - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+    x0_t = jnp.clip(x0_t, -1.0, 1.0)
+    xt_next = jnp.sqrt(at_next) * x0_t + jnp.sqrt(1.0 - at_next) * et
+    return xt_next, x0_t
+
+
+def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
+                seq: DDIMSequence, x: jnp.ndarray) -> jnp.ndarray:
+    """Unroll the full DDIM ladder x_T -> x_0 as a lax.scan.
+
+    The terminal step maps to alpha_bar(-1) = 1, so the returned array is the
+    final (already clipped) x0 prediction — identical to the reference's
+    `iterative_sampling(...).clip(-1, 1)` on the unconditional path.
+    """
+    pairs = jnp.asarray(seq.reversed_pairs())
+
+    def body(xt, pair):
+        xt_next, _ = ddim_step(model_fn, schedule, xt, pair[0], pair[1])
+        return xt_next, None
+
+    out, _ = jax.lax.scan(body, x, pairs)
+    return out
+
+
+def make_decoder(model_fn: ModelFn, schedule: DiffusionSchedule,
+                 seq: DDIMSequence):
+    """Close over model/schedule: returns decode(x_T) -> x_0 (batch NHWC)."""
+
+    def decode(x):
+        return ddim_decode(model_fn, schedule, seq, x)
+
+    return decode

@@ -1,0 +1,173 @@
+"""HMC engine tests (SURVEY.md section 4, item 3): analytic linear-Gaussian
+posterior moments, energy conservation as eps -> 0, accepted-count
+semantics, determinism, and end-to-end with a tiny U-Net decoder."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nshmc_tpu.hmc.engine import (
+    HMCConfig,
+    hmc_attempt,
+    init_chain_state,
+    init_chains,
+    make_pixel_loss_fn,
+    run_chain,
+    run_hmc,
+)
+
+SHAPE = (4, 4, 1)
+DIM = 16
+
+
+def _linear_gaussian_loss(a_diag, y, sigma_meas):
+    """decode = identity, H = diag(a): posterior is exactly Gaussian.
+    loss = ||y - a*x||^2 (the 1/(2 sigma^2) factor is applied by the
+    engine through sigma_y annealing terminating at sigma_0=sigma_meas)."""
+
+    def loss_fn(x):
+        r = y - a_diag * x.reshape(-1)
+        return jnp.sum(r**2), x
+
+    return loss_fn
+
+
+def _posterior_moments(a_diag, y, sigma):
+    # p(x|y) ~ N(0,I) * N(y; a x, sigma^2 I) -> var = 1/(1 + a^2/sigma^2)
+    var = 1.0 / (1.0 + a_diag**2 / sigma**2)
+    mean = var * a_diag * y / sigma**2
+    return mean, var
+
+
+def test_linear_gaussian_posterior_moments():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    x_true = rng.standard_normal(DIM).astype(np.float32)
+    sigma = 0.3
+    y = jnp.asarray(a * x_true + sigma * rng.standard_normal(DIM), jnp.float32)
+
+    # keep tau=1 trajectories through the sampling phase (post_tau == tau
+    # disables the short-trajectory switch) for low autocorrelation
+    cfg = HMCConfig(
+        sigma_0=sigma, tau=1.0, epsilon=0.1, epochs=20, sampling=60,
+        anneal_scale=1.0, post_tau=1.0, post_epsilon=0.1, max_attempts=4000,
+    )
+    loss_fn = _linear_gaussian_loss(a, y, sigma)
+
+    n_chains = 16
+    states = init_chains(jax.random.PRNGKey(0), cfg, n_chains, SHAPE)
+    out = jax.jit(lambda s: run_hmc(loss_fn, cfg, s))(states)
+
+    assert (np.asarray(out.epoch) == cfg.total_epochs).all()
+    samples = np.asarray(out.samples).reshape(n_chains * cfg.sampling, DIM)
+    mean_ref, var_ref = _posterior_moments(
+        np.asarray(a), np.asarray(y), sigma
+    )
+    mean_err = np.abs(samples.mean(0) - mean_ref)
+    assert (mean_err < 0.1).all(), (mean_err.max(), mean_err)
+    var_est = samples.var(0)
+    assert np.abs(var_est - var_ref).max() < 0.1, (var_est, var_ref)
+
+
+def test_acceptance_near_one_for_tiny_steps():
+    rng = np.random.default_rng(1)
+    a = jnp.ones(DIM, jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    loss_fn = _linear_gaussian_loss(a, y, 0.5)
+    cfg = HMCConfig(sigma_0=0.5, tau=0.01, epsilon=0.001, epochs=5,
+                    sampling=5, max_attempts=100)
+    state = init_chain_state(jax.random.PRNGKey(2), cfg, SHAPE)
+    out = jax.jit(lambda s: run_chain(loss_fn, cfg, s))(state)
+    rate = float(out.accepted) / float(out.attempts)
+    assert rate > 0.95, rate
+
+
+def test_accepted_count_semantics_and_backoff():
+    """A loss that always diverges (NaN) must reject every attempt, decay
+    tau/eps by 0.95 from the 2nd consecutive rejection on, and stop at
+    max_attempts."""
+
+    def bad_loss(x):
+        return jnp.asarray(jnp.nan), x
+
+    cfg = HMCConfig(sigma_0=0.1, tau=1.0, epsilon=0.5, epochs=2, sampling=1,
+                    max_attempts=10)
+    state = init_chain_state(jax.random.PRNGKey(3), cfg, SHAPE)
+    out = jax.jit(lambda s: run_chain(bad_loss, cfg, s))(state)
+    assert int(out.epoch) == 0
+    assert int(out.attempts) == 10
+    # 10 rejections -> 9 backoffs (from rejected>=2 onward)
+    np.testing.assert_allclose(float(out.tau), 1.0 * 0.95**9, rtol=1e-5)
+    np.testing.assert_allclose(float(out.epsilon), 0.5 * 0.95**9, rtol=1e-5)
+
+
+def test_tau_epsilon_switch_at_epochs():
+    rng = np.random.default_rng(4)
+    a = jnp.ones(DIM, jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    loss_fn = _linear_gaussian_loss(a, y, 0.5)
+    cfg = HMCConfig(sigma_0=0.5, tau=1.0, epsilon=0.05, epochs=3, sampling=2,
+                    max_attempts=500)
+    state = init_chain_state(jax.random.PRNGKey(5), cfg, SHAPE)
+    out = jax.jit(lambda s: run_chain(loss_fn, cfg, s))(state)
+    # after the run, tau must be <= post_tau (0.1), possibly backed off
+    assert float(out.tau) <= 0.1 + 1e-6
+    assert float(out.epsilon) <= 0.01 + 1e-6
+
+
+def test_determinism():
+    rng = np.random.default_rng(6)
+    a = jnp.ones(DIM, jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    loss_fn = _linear_gaussian_loss(a, y, 0.4)
+    cfg = HMCConfig(sigma_0=0.4, tau=0.5, epsilon=0.05, epochs=4, sampling=3,
+                    max_attempts=200)
+    s1 = init_chain_state(jax.random.PRNGKey(7), cfg, SHAPE)
+    s2 = init_chain_state(jax.random.PRNGKey(7), cfg, SHAPE)
+    o1 = jax.jit(lambda s: run_chain(loss_fn, cfg, s))(s1)
+    o2 = jax.jit(lambda s: run_chain(loss_fn, cfg, s))(s2)
+    np.testing.assert_array_equal(np.asarray(o1.samples), np.asarray(o2.samples))
+
+
+def test_end_to_end_tiny_unet():
+    """Full stack: tiny ADM U-Net decode + inpainting operator + HMC
+    (mirrors the reference's random-init fallback pipeline,
+    unet_ffhq.py:87-90)."""
+    from nshmc_tpu.models.unet import UNetConfig, UNetModel
+    from nshmc_tpu.sampling.ddim import make_decoder
+    from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
+    from nshmc_tpu.operators import Inpainting
+
+    d = 16
+    cfg_model = UNetConfig(
+        image_size=d, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+        num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    model = UNetModel(cfg_model)
+    key = jax.random.PRNGKey(8)
+    params = model.init(key, jnp.zeros((1, d, d, 3)), jnp.zeros((1,)))
+
+    sched = DiffusionSchedule.create(num_timesteps=100)
+    seq = DDIMSequence.create(100, 3)
+    decode = make_decoder(
+        lambda x, t: model.apply(params, x, t), sched, seq
+    )
+
+    rng = np.random.default_rng(0)
+    missing_perm = rng.permutation(d * d)[: int(d * d * 0.5)]
+    mr = 3 * missing_perm
+    op = Inpainting.create(3, d, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
+
+    x_orig = jnp.asarray(rng.uniform(-1, 1, (1, d, d, 3)), jnp.float32)
+    y0 = op.H_img(x_orig)[0]
+
+    cfg = HMCConfig(sigma_0=0.1, tau=0.1, epsilon=0.05, epochs=2, sampling=2,
+                    max_attempts=30)
+    loss_fn = make_pixel_loss_fn(decode, op, y0)
+    states = init_chains(jax.random.PRNGKey(9), cfg, 2, (d, d, 3))
+    out = jax.jit(lambda s: run_hmc(loss_fn, cfg, s))(states)
+    assert np.isfinite(np.asarray(out.last_loss)).all()
+    assert np.asarray(out.samples).shape == (2, 2, d, d, 3)
+    assert (np.asarray(out.attempts) <= 30).all()
