@@ -1,0 +1,117 @@
+"""Benchmark harness: flagship noise-space-HMC throughput on one TPU chip.
+
+Measures the hot path of the reference's flagship run (FFHQ-256 random
+inpainting, timesteps=3, tau=1.0, epsilon=0.05 -> L=20; see BASELINE.md):
+the fused energy+gradient evaluation (3-step DDIM decode + vjp through the
+U-Net) that dominates HMC wall-clock (21 evals/epoch, 100 epochs/sample
+-> 2100 evals/sample; ref budget derivation: main_sampling.py:664-704).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); vs_baseline compares to
+our own recorded first-round number in BENCH_BASELINE.json when present,
+else 1.0.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+EVALS_PER_SAMPLE = 21 * 100  # (L+1) energy evals x (60 anneal + 40 burn/sample)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_CHAINS", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    tiny = os.environ.get("BENCH_TINY", "") == "1"
+
+    import jax
+    import jax.numpy as jnp
+    from nshmc_tpu.models.unet import UNetConfig, UNetModel
+    from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
+    from nshmc_tpu.sampling.ddim import make_decoder
+    from nshmc_tpu.operators import Inpainting
+
+    if tiny:
+        cfg = UNetConfig(
+            image_size=32, model_channels=32, out_channels=6, num_res_blocks=1,
+            attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+            num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+        )
+    else:
+        cfg = UNetConfig.from_model_yaml(
+            image_size=256, num_channels=128, num_res_blocks=1, channel_mult="",
+            learn_sigma=True, attention_resolutions=16, num_heads=4,
+            num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
+        )
+    d = cfg.image_size
+    model = UNetModel(cfg, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
+                        jnp.zeros((1,)))
+
+    sched = DiffusionSchedule.create(num_timesteps=1000)
+    seq = DDIMSequence.create(1000, 3)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(d * d)[: int(d * d * 0.92)]
+    mr = 3 * perm
+    op = Inpainting.create(3, d, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
+    x_orig = jnp.asarray(rng.uniform(-1, 1, (1, d, d, 3)), jnp.float32)
+    y0 = op.H_img(x_orig)[0]
+
+    def loss(x):
+        x0 = decode(x)
+        r = y0[None] - op.H_img(x0)
+        return jnp.sum(r**2)
+
+    energy_vg = jax.jit(jax.value_and_grad(loss))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3), jnp.float32)
+
+    t0 = time.time()
+    v, g = energy_vg(x)
+    jax.block_until_ready(g)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(iters):
+        v, g = energy_vg(x + 1e-6 * i)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+
+    # one energy+grad = `batch` chain-evals; each is 3 U-Net fwd + 3 bwd
+    evals_per_s = batch / dt
+    unet_fwd_per_s = evals_per_s * 3
+    samples_per_s = evals_per_s / EVALS_PER_SAMPLE
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")) as f:
+            baseline = json.load(f).get("samples_per_s_per_chip")
+    except Exception:
+        pass
+    vs_baseline = samples_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "hmc_samples_per_s_per_chip_ffhq256_inpaint_t3",
+        "value": round(samples_per_s, 6),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "energy_grad_evals_per_s": round(evals_per_s, 4),
+            "unet_fwd_per_s": round(unet_fwd_per_s, 4),
+            "chains": batch,
+            "sec_per_energy_grad_batch": round(dt, 4),
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,17 +178,20 @@ def hmc_attempt(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainStat
     accept = accept & jnp.isfinite(log_ratio)
 
     # --- accepted branch values --------------------------------------------
-    sample_idx = state.epoch - (cfg.epochs + cfg.sampling)
-    write_sample = accept & (sample_idx >= 0)
-    idx = jnp.clip(sample_idx, 0, cfg.sampling - 1)
-    new_samples = jax.lax.cond(
-        write_sample,
-        lambda s: jax.lax.dynamic_update_slice(
-            s, dec[None], (idx,) + (0,) * dec.ndim
-        ),
-        lambda s: s,
-        state.samples,
-    )
+    if cfg.sampling > 0:
+        sample_idx = state.epoch - (cfg.epochs + cfg.sampling)
+        write_sample = accept & (sample_idx >= 0)
+        idx = jnp.clip(sample_idx, 0, cfg.sampling - 1)
+        new_samples = jax.lax.cond(
+            write_sample,
+            lambda s: jax.lax.dynamic_update_slice(
+                s, dec[None], (idx,) + (0,) * dec.ndim
+            ),
+            lambda s: s,
+            state.samples,
+        )
+    else:
+        new_samples = state.samples
 
     # --- rejected branch values --------------------------------------------
     rejected = state.rejected + 1

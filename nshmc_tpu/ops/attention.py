@@ -41,21 +41,25 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
-    # Block shapes: (T, ch) per (batch*head) grid step; full T fits in VMEM.
+    # Block shapes: (ch, T) per (batch*head) grid step — tokens live in the
+    # 128-lane minor dimension (T is a multiple of 128), head channels in
+    # sublanes. Full T x T logits stay in VMEM/registers.
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
-    ch = q.shape[-1]
+    ch = q.shape[0]
     scale = 1.0 / math.sqrt(math.sqrt(ch))
+    # logits[t, s] = sum_c q[c, t] k[c, s]
     logits = jax.lax.dot_general(
         (q * scale), (k * scale),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    # out[c, t] = sum_s v[c, s] weights[t, s]
     o_ref[:] = jax.lax.dot_general(
-        weights, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        v, weights,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -64,16 +68,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
 def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention: one grid step per (batch, head), everything in VMEM.
 
-    Valid for T*ch small enough to be VMEM-resident (T <= 1024, ch <= 128 —
-    all shapes in this framework). Returns (B, T, H, ch).
+    Requires T % 128 == 0 and T*ch VMEM-resident (T <= 1024, ch <= 128 —
+    the framework's attention shapes). Returns (B, T, H, ch).
     """
     b, t, h, ch = q.shape
 
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, t, ch)
+    def to_bh(x):  # (B, T, H, ch) -> (B*H, ch, T)
+        return x.transpose(0, 2, 3, 1).reshape(b * h, ch, t)
 
     qh, kh, vh = to_bh(q), to_bh(k), to_bh(v)
-    spec = pl.BlockSpec((1, t, ch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, ch, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         lambda qr, kr, vr, orf: _attn_kernel(
             qr.at[0], kr.at[0], vr.at[0], orf.at[0]
@@ -81,19 +85,55 @@ def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
         grid=(b * h,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, t, ch), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, ch, t), q.dtype),
     )(qh, kh, vh)
-    return out.reshape(b, h, t, ch).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, ch, t).transpose(0, 3, 1, 2)
+
+
+@jax.custom_vjp
+def attention_fused(q, k, v):
+    """Pallas forward with a hand-written backward (pallas_call has no
+    automatic vjp). The backward recomputes the softmax weights with XLA
+    einsums — cheap relative to the convs, and recomputation keeps the
+    residual memory at just (q, k, v), mirroring the reference's
+    checkpointed attention (guided_diffusion/unet_ffhq.py:367-368)."""
+    return attention_pallas(q, k, v)
+
+
+def _attention_fwd(q, k, v):
+    return attention_pallas(q, k, v), (q, k, v)
+
+
+def _attention_bwd(res, g):
+    q, k, v = res
+    ch = q.shape[-1]
+    scale2 = 1.0 / math.sqrt(ch)  # (ch^-1/4)^2
+    z = jnp.einsum("bthc,bshc->bhts", q, k) * scale2
+    w = jax.nn.softmax(z.astype(jnp.float32), axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhts,bthc->bshc", w, g32)
+    dw = jnp.einsum("bthc,bshc->bhts", g32, v32)
+    dz = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhts,bshc->bthc", dz, k.astype(jnp.float32)) * scale2
+    dk = jnp.einsum("bhts,bthc->bshc", dz, q.astype(jnp.float32)) * scale2
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+attention_fused.defvjp(_attention_fwd, _attention_bwd)
 
 
 def attention(q, k, v, use_pallas: bool | None = None):
     """Dispatch fused attention. q/k/v: (B, T, H, ch)."""
     if use_pallas is None:
+        b, t, h, ch = q.shape
         use_pallas = (
             _HAS_PALLAS
             and jax.default_backend() == "tpu"
-            and q.shape[1] * q.shape[3] * 4 <= 4 * 1024 * 1024
+            and t % 128 == 0
+            and ch % 8 == 0
+            and t * ch * 4 <= 4 * 1024 * 1024
         )
     if use_pallas:
-        return attention_pallas(q, k, v)
+        return attention_fused(q, k, v)
     return attention_xla(q, k, v)

@@ -53,7 +53,7 @@ def make_sharded_hmc(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("chain")),
         out_specs=P("chain"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

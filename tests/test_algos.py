@@ -1,0 +1,173 @@
+"""Baseline-algorithm tests: semantic invariants per sampler + the generic
+scan loop, on a toy eps-model and small operators."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
+from nshmc_tpu.sampling.loop import iterative_sampling
+from nshmc_tpu.algos import (
+    build_algo, Unconditional, DPS, PiGDM, DMPS, REDdiff, DDNM, DDRM,
+    DiffPIR, DAPS, run_daps,
+)
+from nshmc_tpu.operators import Inpainting, Denoising, SuperResolution
+
+D, C = 16, 3
+SCHED = DiffusionSchedule.create(num_timesteps=1000)
+SEQ = DDIMSequence.create(1000, 3)
+RNG = np.random.default_rng(0)
+
+
+def toy_model(x, t):
+    base = jnp.tanh(x * 0.3) * (1.0 + 1e-4 * t[:, None, None, None])
+    return jnp.concatenate([base, jnp.zeros_like(base)], axis=-1)
+
+
+def _op_inpaint():
+    perm = RNG.permutation(D * D)[: int(D * D * 0.5)]
+    mr = 3 * perm
+    return Inpainting.create(C, D, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
+
+
+OP = _op_inpaint()
+X_ORIG = jnp.asarray(RNG.uniform(-1, 1, (2, D, D, C)), jnp.float32)
+Y0 = OP.H_img(X_ORIG)
+XT = jnp.asarray(RNG.standard_normal((2, D, D, C)), jnp.float32)
+
+
+def _run(algo, y0=Y0, xt=XT):
+    return jax.jit(
+        lambda xt: iterative_sampling(
+            toy_model, SCHED, SEQ, algo, xt, y0, jax.random.PRNGKey(0)
+        )
+    )(xt)
+
+
+@pytest.mark.parametrize(
+    "name", ["unconditional", "dps", "pigdm", "dmps", "reddiff", "ddnm", "ddrm"]
+)
+def test_algos_run_finite(name):
+    algo = build_algo(name, OP, sigma_0=0.1, deg="inp")
+    out = _run(algo)
+    assert out.shape == XT.shape
+    assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_unconditional_matches_ddim_decode():
+    from nshmc_tpu.sampling.ddim import ddim_decode
+
+    algo = Unconditional(operator=OP, sigma_0=0.1)
+    out = _run(algo)
+    ref = ddim_decode(toy_model, SCHED, SEQ, XT)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ddnm_noiseless_data_consistency():
+    """sigma_0=0 DDNM projects x0 onto the data-consistent affine subspace:
+    H(x0_new) == y0 exactly for inpainting."""
+    algo = DDNM(operator=OP, sigma_0=0.0)
+    x0, _, _ = algo.cal_x0(
+        toy_model, XT, (), 500, SCHED.alpha_bar(jnp.asarray(500)),
+        SCHED.alpha_bar(jnp.asarray(250)), Y0, jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(np.asarray(OP.H_img(x0)), np.asarray(Y0), atol=1e-4)
+
+
+def test_ddnm_noisy_runs_on_sr():
+    op = SuperResolution.create(C, D, 2)
+    y0 = op.H_img(X_ORIG)
+    algo = DDNM(operator=op, sigma_0=0.1)
+    out = _run(algo, y0=y0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddrm_regimes_no_nan_with_zero_singulars():
+    """DDRM must stay finite when the operator has zero singular values
+    (rank-deficient SR)."""
+    op = SuperResolution.create(C, D, 4)
+    y0 = op.H_img(X_ORIG)
+    algo = DDRM(operator=op, sigma_0=0.1)
+    out = _run(algo, y0=y0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dps_guidance_reduces_data_loss():
+    uncond = Unconditional(operator=OP, sigma_0=0.1)
+    dps = DPS(operator=OP, sigma_0=0.1, lam=1.0, noise="ddim")
+    out_u = _run(uncond)
+    out_g = _run(dps)
+    loss_u = float(jnp.sum((Y0 - OP.H_img(out_u)) ** 2))
+    loss_g = float(jnp.sum((Y0 - OP.H_img(out_g)) ** 2))
+    assert loss_g < loss_u, (loss_g, loss_u)
+
+
+def test_reddiff_state_threads():
+    algo = REDdiff(operator=OP, sigma_0=0.1, eta=0.5)
+    s0 = algo.init_state(XT)
+    assert not bool(s0[1])
+    _, _, s1 = algo.cal_x0(
+        toy_model, XT, s0, 750, SCHED.alpha_bar(jnp.asarray(750)),
+        SCHED.alpha_bar(jnp.asarray(500)), Y0, jax.random.PRNGKey(2),
+    )
+    assert bool(s1[1])
+    assert np.isfinite(np.asarray(s1[0])).all()
+
+
+def test_diffpir_inner_solve_reduces_proximal_objective():
+    algo = DiffPIR(operator=OP, sigma_0=0.1, lam=7.0, inner_steps=50)
+    at = SCHED.alpha_bar(jnp.asarray(500))
+    at_next = SCHED.alpha_bar(jnp.asarray(250))
+    xhat, _, _ = algo.cal_x0(
+        toy_model, XT, (), 500, at, at_next, Y0, jax.random.PRNGKey(3)
+    )
+    from nshmc_tpu.algos.base import predict_eps, predict_x0
+
+    et = predict_eps(toy_model, XT, 500)
+    x0 = predict_x0(XT, et, at)
+    loss_before = float(jnp.sum((OP.H_img(x0) - Y0) ** 2))
+    loss_after = float(jnp.sum((OP.H_img(xhat) - Y0) ** 2))
+    assert loss_after < loss_before
+
+
+def test_daps_runs():
+    algo = DAPS(operator=OP, sigma_0=0.1, langevin_steps=10)
+    out = jax.jit(
+        lambda xt: run_daps(
+            toy_model, SCHED, SEQ, algo, xt, Y0, jax.random.PRNGKey(4)
+        )
+    )(XT)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sf_adamw_minimizes_quadratic():
+    from nshmc_tpu.solvers.sf_adamw import sf_adamw_init, sf_adamw_step
+
+    target = jnp.asarray([1.0, -2.0, 3.0])
+    x = jnp.zeros(3)
+    state = sf_adamw_init(x)
+    for _ in range(1000):
+        g = 2 * (x - target)
+        x, state = sf_adamw_step(x, g, state, lr=0.1)
+    # x is the schedule-free averaged iterate: O(1/k) convergence
+    np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=0.1)
+
+
+def test_dmplug_adam_reduces_loss_and_early_stops():
+    from nshmc_tpu.solvers.dmplug import dmplug_adam, DMPlugAdamConfig
+
+    a = jnp.asarray(RNG.uniform(0.5, 1.5, (D * D * C,)), jnp.float32)
+    y = jnp.asarray(RNG.standard_normal(D * D * C), jnp.float32)
+
+    def loss_and_decode(x):
+        flat = x.reshape(-1)
+        r = y - a * flat
+        return jnp.sum(r**2), x
+
+    x0 = jnp.zeros((1, D, D, C))
+    cfg = DMPlugAdamConfig(lr=1e-1, max_steps=3000, buffer_size=10, patience=50)
+    x_fin, dec = jax.jit(
+        lambda x: dmplug_adam(loss_and_decode, x, cfg)
+    )(x0)
+    final_loss = float(loss_and_decode(x_fin)[0])
+    assert final_loss < 0.1 * float(loss_and_decode(x0)[0])
