@@ -128,26 +128,30 @@ def _sigma_y(cfg: HMCConfig, epoch):
     return jnp.where(epoch < cfg.epochs, annealed, cfg.sigma_0)
 
 
-def hmc_attempt(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainState:
-    """One proposal: leapfrog trajectory + per-chain MH accept."""
+def leapfrog_propose(
+    loss_fn: LossFn,
+    x: jnp.ndarray,
+    sigma_y,
+    eps,
+    n_leapfrog: int,
+    m: float,
+    key,
+):
+    """One leapfrog trajectory + MH decision for a single chain.
+
+    Returns (accept, xp, dec, loss, log_ratio): the proposal, the decoded
+    image and data-loss from its last energy evaluation, and the MH
+    log-ratio. Integrator and Hamiltonian exactly mirror
+    main_sampling.py:692-720 (half-step, L full steps, half-step
+    correction). NaN energies reject.
+    """
     vg = jax.value_and_grad(loss_fn, has_aux=True)
-    key, k_mom, k_acc = jax.random.split(state.key, 3)
-
-    sigma_y = _sigma_y(cfg, state.epoch)
+    k_mom, k_acc = jax.random.split(key)
     inv2s2 = 1.0 / (2.0 * sigma_y**2)
-    switch = (state.epoch >= cfg.epochs) & (state.tau > cfg.post_tau)
-    tau = jnp.where(switch, cfg.post_tau, state.tau)
-    eps = jnp.where(switch, cfg.post_epsilon, state.epsilon)
-    m = cfg.m
 
-    x = state.x
     p0 = jax.random.normal(k_mom, x.shape, x.dtype) * jnp.sqrt(m)
-    (loss0, _dec0), grad0 = vg(x)
-    h0 = (
-        0.5 * jnp.sum(x**2)
-        + inv2s2 * loss0
-        + 0.5 * jnp.sum(p0**2) / m
-    )
+    (loss0, dec0), grad0 = vg(x)
+    h0 = 0.5 * jnp.sum(x**2) + inv2s2 * loss0 + 0.5 * jnp.sum(p0**2) / m
 
     # first momentum half-step (ref: main_sampling.py:702)
     p = p0 - (eps / 2.0) * (x + inv2s2 * grad0)
@@ -159,23 +163,33 @@ def hmc_attempt(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainStat
         p = p - eps * (xp + inv2s2 * grad)
         return (xp, p, loss, dec, grad), None
 
-    init = (x, p, loss0, _dec0, grad0)
+    init = (x, p, loss0, dec0, grad0)
     (xp, p, loss, dec, grad), _ = jax.lax.scan(
-        leapfrog, init, None, length=cfg.n_leapfrog
+        leapfrog, init, None, length=n_leapfrog
     )
     # undo the half-over-step of the final iteration (ref: :715)
     p = p + (eps / 2.0) * (xp + inv2s2 * grad)
 
-    h1 = (
-        0.5 * jnp.sum(xp**2)
-        + inv2s2 * loss
-        + 0.5 * jnp.sum(p**2) / m
-    )
+    h1 = 0.5 * jnp.sum(xp**2) + inv2s2 * loss + 0.5 * jnp.sum(p**2) / m
     log_ratio = -(h1 - h0)
     u = jax.random.uniform(k_acc)
-    accept = jnp.log(u) < jnp.minimum(log_ratio, 0.0)
-    # NaN energies (diverged trajectory) reject naturally:
-    accept = accept & jnp.isfinite(log_ratio)
+    accept = (jnp.log(u) < jnp.minimum(log_ratio, 0.0)) & jnp.isfinite(log_ratio)
+    return accept, xp, dec, loss, log_ratio
+
+
+def hmc_attempt(loss_fn: LossFn, cfg: HMCConfig, state: ChainState) -> ChainState:
+    """One proposal: leapfrog trajectory + per-chain MH accept."""
+    key, k_prop = jax.random.split(state.key)
+
+    sigma_y = _sigma_y(cfg, state.epoch)
+    switch = (state.epoch >= cfg.epochs) & (state.tau > cfg.post_tau)
+    tau = jnp.where(switch, cfg.post_tau, state.tau)
+    eps = jnp.where(switch, cfg.post_epsilon, state.epsilon)
+
+    x = state.x
+    accept, xp, dec, loss, _ = leapfrog_propose(
+        loss_fn, x, sigma_y, eps, cfg.n_leapfrog, cfg.m, k_prop
+    )
 
     # --- accepted branch values --------------------------------------------
     if cfg.sampling > 0:
