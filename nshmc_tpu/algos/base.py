@@ -55,6 +55,14 @@ class Algo(struct.PyTreeNode):
         """Default DDIM recombination (ref: algos/unconditional.py:26-28)."""
         return jnp.sqrt(at_next) * x0_t + add_up
 
+    def step(self, model_fn: ModelFn, xt, state, t, at, at_next, y0, key):
+        """One full sampler step; algorithms whose map_back depends on the
+        timestep (e.g. ReSample) override this instead."""
+        x0, add_up, state = self.cal_x0(
+            model_fn, xt, state, t, at, at_next, y0, key
+        )
+        return self.map_back(x0, y0, add_up, at_next, at), state
+
     # spectral helpers: image (B,H,W,C) <-> flat (B,D) channel-first
     def _flat(self, img):
         return flatten_image(img)

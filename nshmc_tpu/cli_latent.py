@@ -1,0 +1,148 @@
+"""Latent-space experiment driver.
+
+Replacement for the reference latent entry point
+(ref: main_sampling_latent.py:901-919 and sample_image:369-539): builds the
+LDM (latent U-Net + VQ-f4 first stage), samples z_T at the latent shape,
+runs latent noise-space HMC (or latent baselines), decodes through the VQ
+decoder, and computes pixel-space metrics.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def run_latent(opt):
+    import jax
+    import jax.numpy as jnp
+    from .schedules import DDIMSequence
+    from .operators import build_operator
+    from .sampling.ddim import make_decoder
+    from .models.ldm import LatentDiffusion, AutoencoderConfig, latent_unet_config
+    from .hmc.latent import (
+        LatentHMCConfig, init_latent_chains, run_latent_hmc,
+        make_latent_loss_fn,
+    )
+    from .cli import load_config
+    from .utils import images as im
+    from .utils.metrics import psnr, ssim, RunningStats
+
+    cfg = load_config(opt.config)
+    d = cfg["data"]["image_size"]
+    c = cfg["data"]["channels"]
+    zd = cfg["model"]["image_size"]  # latent spatial size
+    rng = np.random.default_rng(opt.seed)
+
+    unet_cfg = latent_unet_config(
+        image_size=zd,
+        model_channels=cfg["model"]["unet"]["model_channels"],
+        num_res_blocks=cfg["model"]["unet"]["num_res_blocks"],
+        channel_mult=tuple(cfg["model"]["unet"]["channel_mult"]),
+        attention_ds=tuple(cfg["model"]["unet"]["attention_resolutions"]),
+        num_head_channels=cfg["model"]["unet"]["num_head_channels"],
+    )
+    ae_cfg = AutoencoderConfig(
+        ch=cfg["model"]["first_stage"]["ch"],
+        ch_mult=tuple(cfg["model"]["first_stage"]["ch_mult"]),
+        num_res_blocks=cfg["model"]["first_stage"]["num_res_blocks"],
+        z_channels=cfg["model"]["first_stage"]["z_channels"],
+        embed_dim=cfg["model"]["first_stage"]["embed_dim"],
+        n_embed=cfg["model"]["first_stage"]["n_embed"],
+        resolution=cfg["model"]["first_stage"]["resolution"],
+    )
+    ldm = LatentDiffusion.create(
+        jax.random.PRNGKey(0), unet_cfg, ae_cfg,
+        linear_start=cfg["model"]["linear_start"],
+        linear_end=cfg["model"]["linear_end"],
+        num_timesteps=cfg["model"]["timesteps"],
+    )
+    ckpt = opt.ckpt or cfg["model"].get("ckpt_path", "")
+    if ckpt and os.path.exists(ckpt):
+        import torch
+        from .models.ldm.port import port_ldm_checkpoint
+        from .schedules import DiffusionSchedule
+
+        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        unet_params, ae_params, ac = port_ldm_checkpoint(sd, unet_cfg, ae_cfg)
+        ldm.unet_params = unet_params
+        ldm.first_stage_params = ae_params
+        if ac is not None:
+            ldm.schedule = DiffusionSchedule.from_alphas_cumprod(ac)
+        print(f"loaded LDM checkpoint {ckpt}")
+    else:
+        print(f"LDM checkpoint {ckpt!r} not found: random init")
+
+    seq = DDIMSequence.create(cfg["model"]["timesteps"], opt.timesteps)
+    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq)
+
+    operator = build_operator(opt.deg, c, d, rng)
+    sigma_0 = 2.0 * opt.sigma_0
+
+    files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
+    os.makedirs(opt.image_folder, exist_ok=True)
+    stats = RunningStats()
+
+    for idx, path in enumerate(files):
+        x01 = im.load_image(path, d)
+        x_orig = im.data_transform(jnp.asarray(x01))[None]
+        key = jax.random.PRNGKey(opt.seed + idx)
+        k_noise, k_run = jax.random.split(key)
+        y0 = operator.H_img(x_orig)
+        y0 = y0 + sigma_0 * jax.random.normal(k_noise, y0.shape)
+        im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
+
+        t0 = time.time()
+        if opt.algo == "hmc_latent":
+            hmc_cfg = LatentHMCConfig(
+                sigma_0=sigma_0, sigma_y0=opt.sigma_y, tau=opt.tau,
+                epsilon=opt.epsilon, m=opt.m,
+            )
+            loss_fn = make_latent_loss_fn(
+                decode_z, ldm.decode_first_stage, operator, y0[0]
+            )
+            states = init_latent_chains(
+                k_run, hmc_cfg, opt.chains, (zd, zd, unet_cfg.in_channels)
+            )
+            out = jax.jit(lambda s: run_latent_hmc(loss_fn, hmc_cfg, s))(states)
+            z_samples = np.asarray(out.samples).reshape(
+                -1, zd, zd, unet_cfg.in_channels
+            )
+            decoded = ldm.decode_first_stage(jnp.asarray(z_samples))
+            samples = np.asarray(decoded)
+        elif opt.algo == "resample":
+            from .algos.resample import ReSample
+            from .sampling.loop import iterative_sampling
+
+            algo = ReSample(
+                operator=operator, sigma_0=sigma_0,
+                decode_fn=ldm.decode_first_stage,
+            )
+            z_init = jax.random.normal(k_run, (1, zd, zd, unet_cfg.in_channels))
+            z_out = iterative_sampling(
+                ldm.model_fn(stop_gradient=False), ldm.schedule, seq,
+                algo, z_init, y0, k_run,
+            )
+            samples = np.asarray(ldm.decode_first_stage(z_out))
+        else:
+            raise NotImplementedError(opt.algo)
+        dt = time.time() - t0
+
+        samples01 = np.asarray(im.inverse_data_transform(jnp.asarray(samples)))
+        im.save_image(samples01[-1], os.path.join(opt.image_folder, f"{idx}.png"))
+        orig01 = np.repeat(np.asarray(x01)[None], samples01.shape[0], 0)
+        vals = {
+            "psnr": np.asarray(psnr(jnp.asarray(samples01), jnp.asarray(orig01))),
+            "ssim": np.asarray(ssim(jnp.asarray(samples01), jnp.asarray(orig01))),
+        }
+        stats.update(vals)
+        print(f"[{idx}] {os.path.basename(path)}: "
+              + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
+              + f"  ({dt:.1f}s)")
+
+    summary = stats.summary()
+    print(json.dumps({"summary": summary}))
+    return summary

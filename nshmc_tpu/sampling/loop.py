@@ -32,10 +32,9 @@ def iterative_sampling(
         t, t_next = pair[0], pair[1]
         at = schedule.alpha_bar(t)
         at_next = schedule.alpha_bar(t_next)
-        x0, add_up, state = algo.cal_x0(
+        xt_next, state = algo.step(
             model_fn, xt, state, t, at, at_next, y0, sub
         )
-        xt_next = algo.map_back(x0, y0, add_up, at_next, at)
         return (xt_next, state, key), None
 
     (out, _, _), _ = jax.lax.scan(body, (xt, algo.init_state(xt), key), pairs)

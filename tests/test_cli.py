@@ -1,0 +1,82 @@
+"""End-to-end CLI smoke tests on the tiny config + the shipped FFHQ eval
+images (exp/datasets/ffhq/samples_1k)."""
+import os
+
+import numpy as np
+import pytest
+
+from nshmc_tpu.cli import get_parser, run_pixel
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "tiny_test.yaml")
+
+
+def _run(tmp_path, *args):
+    opt = get_parser().parse_args([
+        "--config", CFG, "-i", str(tmp_path), "--subset_end", "1",
+        "--no-bf16", *args,
+    ])
+    return run_pixel(opt), opt
+
+
+@pytest.mark.parametrize("algo", ["ddnm", "dps"])
+def test_cli_baseline_algo(tmp_path, algo):
+    summary, opt = _run(tmp_path, "--algo", algo, "--deg", "sr2")
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    assert os.path.exists(tmp_path / "0.png")
+    assert os.path.exists(tmp_path / "orig_0.png")
+    assert os.path.exists(tmp_path / "y0_0.png")
+
+
+def test_cli_hmc_short(tmp_path):
+    summary, opt = _run(
+        tmp_path, "--algo", "hmc", "--deg", "inpaint_random",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--hmc_epochs", "2", "--hmc_sampling", "2",
+    )
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    assert "psnr_std" in summary  # multi-sample stack -> std tracked
+    assert os.path.exists(tmp_path / "std_dev_map_0.png")
+
+
+def _numpy_ssim_channel(a, b, win=7, k1=0.01, k2=0.03, data_range=1.0):
+    """Independent numpy re-derivation of skimage.structural_similarity
+    defaults (uniform window, sample covariance, crop to valid)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    n = win * win
+    cov_norm = n / (n - 1)
+    wa = sliding_window_view(a, (win, win))
+    wb = sliding_window_view(b, (win, win))
+    ux = wa.mean(axis=(-1, -2))
+    uy = wb.mean(axis=(-1, -2))
+    uxx = (wa**2).mean(axis=(-1, -2))
+    uyy = (wb**2).mean(axis=(-1, -2))
+    uxy = (wa * wb).mean(axis=(-1, -2))
+    vx = cov_norm * (uxx - ux**2)
+    vy = cov_norm * (uyy - uy**2)
+    vxy = cov_norm * (uxy - ux * uy)
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux**2 + uy**2 + c1) * (vx + vy + c2))
+    return s.mean()
+
+
+def test_cli_metrics_match_reference_formula():
+    """Our jitted SSIM/PSNR must match an independent numpy derivation of
+    the skimage defaults (skimage itself is not in this image)."""
+    import jax.numpy as jnp
+    from nshmc_tpu.utils.metrics import ssim, psnr
+    from nshmc_tpu.utils import images as im
+
+    files = im.list_dataset("/root/reference/exp/datasets/ffhq/samples_1k")[:2]
+    a = im.load_image(files[0], 64)
+    b = im.load_image(files[1], 64)
+    ours = float(ssim(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
+    ref = np.mean([
+        _numpy_ssim_channel(a[..., ch], b[..., ch]) for ch in range(3)
+    ])
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+    p_ours = float(psnr(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
+    mse = np.mean((a - b) ** 2)
+    np.testing.assert_allclose(p_ours, 10 * np.log10(1 / mse), rtol=1e-4)
