@@ -134,46 +134,64 @@ def leapfrog_propose(
     sigma_y,
     eps,
     n_leapfrog: int,
-    m: float,
-    key,
+    m: float = 1.0,
+    key=None,
+    mass_diag: Optional[jnp.ndarray] = None,
+    collect_welford: bool = False,
 ):
     """One leapfrog trajectory + MH decision for a single chain.
 
-    Returns (accept, xp, dec, loss, log_ratio): the proposal, the decoded
-    image and data-loss from its last energy evaluation, and the MH
-    log-ratio. Integrator and Hamiltonian exactly mirror
-    main_sampling.py:692-720 (half-step, L full steps, half-step
-    correction). NaN energies reject.
+    Returns (accept, xp, dec, loss, log_ratio[, (mean, m2)]): the proposal,
+    the decoded image and data-loss from its last energy evaluation, the MH
+    log-ratio, and (with collect_welford) the Welford running mean/M2 of the
+    trajectory positions for mass-matrix adaptation
+    (ref: main_sampling.py:842-846). Integrator and Hamiltonian exactly
+    mirror main_sampling.py:692-720 (half-step, L full steps, half-step
+    correction); with `mass_diag` the kinetic energy and position updates
+    use the diagonal metric of hmc_test_conditioning (:819-850). NaN
+    energies reject.
     """
     vg = jax.value_and_grad(loss_fn, has_aux=True)
     k_mom, k_acc = jax.random.split(key)
     inv2s2 = 1.0 / (2.0 * sigma_y**2)
+    mass = mass_diag if mass_diag is not None else jnp.asarray(m, x.dtype)
+    inv_mass = 1.0 / mass
 
-    p0 = jax.random.normal(k_mom, x.shape, x.dtype) * jnp.sqrt(m)
+    def kinetic(p):
+        return 0.5 * jnp.sum(inv_mass * p**2)
+
+    p0 = jax.random.normal(k_mom, x.shape, x.dtype) * jnp.sqrt(mass)
     (loss0, dec0), grad0 = vg(x)
-    h0 = 0.5 * jnp.sum(x**2) + inv2s2 * loss0 + 0.5 * jnp.sum(p0**2) / m
+    h0 = 0.5 * jnp.sum(x**2) + inv2s2 * loss0 + kinetic(p0)
 
     # first momentum half-step (ref: main_sampling.py:702)
     p = p0 - (eps / 2.0) * (x + inv2s2 * grad0)
 
-    def leapfrog(carry, _):
-        xp, p, _, _, _ = carry
-        xp = xp + (eps / m) * p
+    def leapfrog(carry, l):
+        xp, p, _, _, _, mean, m2 = carry
+        xp = xp + eps * inv_mass * p
         (loss, dec), grad = vg(xp)
         p = p - eps * (xp + inv2s2 * grad)
-        return (xp, p, loss, dec, grad), None
+        if collect_welford:
+            delta = xp - mean
+            mean = mean + delta / (l + 1).astype(x.dtype)
+            m2 = m2 + delta * (xp - mean)
+        return (xp, p, loss, dec, grad, mean, m2), None
 
-    init = (x, p, loss0, dec0, grad0)
-    (xp, p, loss, dec, grad), _ = jax.lax.scan(
-        leapfrog, init, None, length=n_leapfrog
+    zeros = jnp.zeros_like(x)
+    init = (x, p, loss0, dec0, grad0, zeros, zeros)
+    (xp, p, loss, dec, grad, mean, m2), _ = jax.lax.scan(
+        leapfrog, init, jnp.arange(n_leapfrog), length=n_leapfrog
     )
     # undo the half-over-step of the final iteration (ref: :715)
     p = p + (eps / 2.0) * (xp + inv2s2 * grad)
 
-    h1 = 0.5 * jnp.sum(xp**2) + inv2s2 * loss + 0.5 * jnp.sum(p**2) / m
+    h1 = 0.5 * jnp.sum(xp**2) + inv2s2 * loss + kinetic(p)
     log_ratio = -(h1 - h0)
     u = jax.random.uniform(k_acc)
     accept = (jnp.log(u) < jnp.minimum(log_ratio, 0.0)) & jnp.isfinite(log_ratio)
+    if collect_welford:
+        return accept, xp, dec, loss, log_ratio, (mean, m2)
     return accept, xp, dec, loss, log_ratio
 
 

@@ -1,0 +1,101 @@
+"""Performance probe: energy+grad throughput across configs.
+
+Usage: python scripts/perf_probe.py b8          # batch 8, remat on
+       python scripts/perf_probe.py b4-noremat  # batch 4, remat off
+       python scripts/perf_probe.py b4-fwd      # forward only
+Writes one JSON line per run to scripts/perf_results.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "b4"
+    parts = tag.split("-")
+    batch = int(parts[0][1:])
+    remat = "noremat" not in parts
+    fwd_only = "fwd" in parts
+    xla_attn = "xlaattn" in parts
+    f32 = "f32" in parts
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from nshmc_tpu.models.unet import UNetConfig, UNetModel
+    from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
+    from nshmc_tpu.sampling.ddim import make_decoder
+    from nshmc_tpu.operators import Inpainting
+
+    if xla_attn:
+        import nshmc_tpu.ops.attention as attn_mod
+
+        attn_mod._HAS_PALLAS = False
+
+    cfg = UNetConfig.from_model_yaml(
+        image_size=256, num_channels=128, num_res_blocks=1, channel_mult="",
+        learn_sigma=True, attention_resolutions=16, num_heads=4,
+        num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    cfg = UNetConfig(**{**cfg.__dict__, "remat": remat})
+    d = cfg.image_size
+    dtype = jnp.float32 if f32 else jnp.bfloat16
+    model = UNetModel(cfg, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
+                        jnp.zeros((1,)))
+
+    sched = DiffusionSchedule.create(num_timesteps=1000)
+    seq = DDIMSequence.create(1000, 3)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(d * d)[: int(d * d * 0.92)]
+    mr = 3 * perm
+    op = Inpainting.create(3, d, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
+    y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
+
+    def loss(x):
+        x0 = decode(x)
+        r = y0[None] - op.H_img(x0)
+        return jnp.sum(r**2)
+
+    if fwd_only:
+        fn = jax.jit(loss)
+    else:
+        fn = jax.jit(jax.value_and_grad(loss))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3), jnp.float32)
+    t0 = time.time()
+    out = fn(x)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    iters = 6
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(x + 1e-6 * i)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    rec = {
+        "tag": tag, "batch": batch, "remat": remat, "fwd_only": fwd_only,
+        "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
+        "sec_per_call": round(dt, 4),
+        "chain_evals_per_s": round(batch / dt, 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(os.path.dirname(__file__), "perf_results.jsonl"),
+              "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
