@@ -1,0 +1,103 @@
+"""Dataset loading.
+
+Re-design of the reference data layer (ref: datasets/__init__.py:47-197,
+datasets/npydataset.py:5, datasets/celeba.py) without torch DataLoader:
+simple deterministic iterators over image folders / npy stacks yielding
+float32 [0, 1] NHWC numpy arrays, with the reference's transforms
+(resize-to-image_size for FFHQ/ImageFolder; CelebA center-crop cx=89 cy=121
+then resize).
+
+LSUN's lmdb-backed dataset (datasets/lsun.py) is gated behind the optional
+`lmdb` package.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .images import list_dataset, load_image
+
+
+class FolderDataset:
+    """ImageFolder-equivalent (ref: datasets/__init__.py:112-131)."""
+
+    def __init__(self, root: str, image_size: int = 256,
+                 celeba_crop: bool = False):
+        self.files = list_dataset(root)
+        self.image_size = image_size
+        self.celeba_crop = celeba_crop
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if not self.celeba_crop:
+            return load_image(self.files[i], self.image_size)
+        from PIL import Image
+
+        img = Image.open(self.files[i]).convert("RGB")
+        # CelebA center crop (ref: datasets/__init__.py CelebA transform:
+        # cx=89, cy=121, 128x128 crop window)
+        cx, cy = 89, 121
+        x1, x2 = cy - 64, cy + 64
+        y1, y2 = cx - 64, cx + 64
+        img = img.crop((y1, x1, y2, x2)).resize(
+            (self.image_size, self.image_size)
+        )
+        return np.asarray(img, np.float32) / 255.0
+
+
+class NpyDataset:
+    """Stack-of-images .npy dataset (ref: datasets/npydataset.py:5)."""
+
+    def __init__(self, path: str, image_size: int = 256):
+        arr = np.load(path)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[-1] not in (1, 3):  # NCHW -> NHWC
+            arr = arr.transpose(0, 2, 3, 1)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        self.arr = arr.astype(np.float32)
+        self.image_size = image_size
+
+    def __len__(self):
+        return self.arr.shape[0]
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.arr[i]
+
+
+def get_dataset(name: str, root: str, image_size: int = 256):
+    """Dataset dispatch (ref: datasets/__init__.py:47-197)."""
+    name = name.lower()
+    if name in ("ffhq", "imagefolder", "imagenet"):
+        return FolderDataset(root, image_size)
+    if name in ("celeba", "celeba_hq"):
+        return FolderDataset(root, image_size,
+                             celeba_crop=(name == "celeba"))
+    if name == "npy" or root.endswith(".npy"):
+        return NpyDataset(root, image_size)
+    if name == "lsun":
+        raise NotImplementedError(
+            "LSUN requires the lmdb package (datasets/lsun.py); convert to "
+            "an image folder or npy stack instead"
+        )
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+def iterate(dataset, start: int = 0, end: Optional[int] = None,
+            shuffle_seed: Optional[int] = None) -> Iterator[Tuple[int, np.ndarray]]:
+    """Deterministic (optionally seeded-shuffled) iteration, mirroring the
+    reference's seeded DataLoader + Subset behavior
+    (ref: main_sampling.py:371-403)."""
+    idx = np.arange(len(dataset))
+    if shuffle_seed is not None:
+        np.random.default_rng(shuffle_seed).shuffle(idx)
+    end = len(dataset) if end is None else min(end, len(dataset))
+    for i in idx[start:end]:
+        yield int(i), dataset[int(i)]

@@ -1,0 +1,79 @@
+"""Tracing and profiling utilities.
+
+New capability over the reference (SURVEY.md section 5: the reference has no
+tracing/profiling beyond tqdm bars and dead thop FLOP hooks,
+unet_ffhq.py:379-396). Wraps jax.profiler traces and named scopes around
+the sampler hot loops, plus a simple wall-clock/FLOP reporter.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(dirname: str = "/tmp/nshmc_trace"):
+    """Capture a jax.profiler trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(dirname)
+    try:
+        yield dirname
+    finally:
+        jax.profiler.stop_trace()
+
+
+def named(name: str):
+    """Annotate a region so it shows up in profiler timelines; usable as a
+    context manager around sampler phases (leapfrog / energy / metrics)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+scope = jax.named_scope  # compile-time scope for HLO readability
+
+
+class Timer:
+    """Wall-clock timing with device synchronization."""
+
+    def __init__(self):
+        self.records = {}
+
+    @contextlib.contextmanager
+    def time(self, name: str, sync=None):
+        t0 = time.time()
+        yield
+        if sync is not None:
+            jax.block_until_ready(sync)
+        self.records.setdefault(name, []).append(time.time() - t0)
+
+    def summary(self) -> dict:
+        import numpy as np
+
+        return {
+            k: {"mean_s": float(np.mean(v)), "n": len(v),
+                "total_s": float(np.sum(v))}
+            for k, v in self.records.items()
+        }
+
+    def dump(self, path: Optional[str] = None):
+        s = json.dumps(self.summary(), indent=2)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+
+def compiled_flops(fn, *args) -> Optional[float]:
+    """XLA's own FLOP estimate for a jitted function, for utilization
+    accounting in bench reports. Returns None when the backend does not
+    expose cost analysis."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", None))
+    except Exception:
+        return None
