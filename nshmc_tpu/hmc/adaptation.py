@@ -59,6 +59,60 @@ def dual_averaging_update(state: DualAveragingState, accept_prob,
                          h_sum=h_sum, t=t)
 
 
+def run_hmc_dual_averaging(
+    loss_fn,
+    cfg,
+    states,
+    target_accept: float = 0.65,
+    axis_name: Optional[str] = None,
+):
+    """Lockstep multi-chain HMC with SHARED dual-averaged step size.
+
+    All chains attempt proposals in lockstep (a fori_loop over
+    cfg.max_attempts); after each round the mean acceptance probability —
+    `pmean`ed over `axis_name` when running under shard_map across devices —
+    drives one dual-averaging update of a shared epsilon. The adapted step
+    size replaces the reference's multiplicative backoff during annealing
+    and freezes once chains enter the sampling phase. Lockstep execution is
+    also the TPU-efficient shape: a vmapped while_loop runs until the
+    slowest chain finishes anyway.
+
+    Returns (states, da_state).
+    """
+    from .engine import hmc_attempt
+
+    da0 = DualAveragingState.create(cfg.epsilon)
+
+    def round_fn(i, carry):
+        states, da = carry
+        eps_shared = jnp.exp(da.log_eps)
+        # apply the shared step size to chains still annealing
+        in_anneal = states.epoch < cfg.epochs
+        states = states.replace(
+            epsilon=jnp.where(in_anneal, eps_shared, states.epsilon)
+        )
+        prev_epoch = states.epoch
+        new_states = jax.vmap(lambda s: hmc_attempt(loss_fn, cfg, s))(states)
+        accepted = (new_states.epoch > prev_epoch).astype(jnp.float32)
+        # only count chains that are still running
+        running = (prev_epoch < cfg.total_epochs).astype(jnp.float32)
+        acc = jnp.sum(accepted * running) / jnp.maximum(jnp.sum(running), 1.0)
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+        da = dual_averaging_update(da, acc, target=target_accept)
+        # freeze finished chains
+        done = prev_epoch >= cfg.total_epochs
+        states = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            new_states, states,
+        )
+        return states, da
+
+    return jax.lax.fori_loop(0, cfg.max_attempts, round_fn, (states, da0))
+
+
 # --- mass-conditioned HMC ---------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)

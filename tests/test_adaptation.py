@@ -61,3 +61,49 @@ def test_dual_averaging_converges_toward_target():
     for _ in range(50):
         st = dual_averaging_update(st, jnp.asarray(0.0), target=0.65)
     assert float(jnp.exp(st.log_eps)) < 0.1
+
+
+def test_dual_averaging_lockstep_runner():
+    from nshmc_tpu.hmc.engine import HMCConfig, init_chains
+    from nshmc_tpu.hmc.adaptation import run_hmc_dual_averaging
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    cfg = HMCConfig(sigma_0=0.3, tau=0.5, epsilon=0.05, epochs=4, sampling=2,
+                    max_attempts=60)
+    states = init_chains(jax.random.PRNGKey(0), cfg, 4, SHAPE)
+    out, da = jax.jit(
+        lambda s: run_hmc_dual_averaging(_loss(a, y), cfg, s)
+    )(states)
+    assert (np.asarray(out.epoch) <= cfg.total_epochs).all()
+    assert (np.asarray(out.epoch) > 0).all()
+    assert int(da.t) == cfg.max_attempts
+    assert np.isfinite(float(da.log_eps))
+
+
+def test_dual_averaging_lockstep_sharded():
+    """Shared-epsilon adaptation with pmean'd acceptance across the mesh."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from nshmc_tpu.hmc.engine import HMCConfig, init_chains
+    from nshmc_tpu.hmc.adaptation import run_hmc_dual_averaging
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    cfg = HMCConfig(sigma_0=0.3, tau=0.5, epsilon=0.05, epochs=2, sampling=1,
+                    max_attempts=30)
+    states = init_chains(jax.random.PRNGKey(1), cfg, 8, SHAPE)
+    mesh = Mesh(np.asarray(jax.devices()), ("chain",))
+
+    def body(a, y, states):
+        return run_hmc_dual_averaging(_loss(a, y), cfg, states,
+                                      axis_name="chain")
+
+    out, da = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P("chain")),
+        out_specs=(P("chain"), P()), check_vma=False,
+    ))(a, y, states)
+    assert np.asarray(out.epoch).shape[0] == 8
+    assert np.isfinite(float(jnp.exp(da.log_eps)))
