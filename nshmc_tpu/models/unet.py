@@ -59,7 +59,13 @@ class UNetConfig:
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
-    remat: bool = True
+    # remat policy: "full" (every unit recomputes in backward — minimal
+    # memory, the default for HMC through chained U-Nets), "attn" (only
+    # attention-bearing units — mirrors the reference, which always
+    # checkpoints attention but not ResBlocks, unet_ffhq.py:367-368),
+    # "none" (store everything — fastest backward when memory allows).
+    # bool accepted for compatibility (True -> "full").
+    remat: object = "full"
 
     @classmethod
     def from_model_yaml(cls, **kw) -> "UNetConfig":
@@ -309,10 +315,20 @@ class UNetModel(nn.Module):
         cfg = self.config
         assert (y is not None) == (cfg.num_classes is not None)
 
-        Enc = nn.remat(EncoderUnit) if cfg.remat else EncoderUnit
-        Mid = nn.remat(MiddleUnit) if cfg.remat else MiddleUnit
-        Dec = nn.remat(DecoderUnit) if cfg.remat else DecoderUnit
-        DownRes = nn.remat(ResBlock) if cfg.remat else ResBlock
+        policy = {True: "full", False: "none"}.get(cfg.remat, cfg.remat)
+        full = policy == "full"
+        attn_only = policy == "attn"
+
+        def enc_cls(use_attn):
+            return nn.remat(EncoderUnit) if (full or (attn_only and use_attn)) \
+                else EncoderUnit
+
+        def dec_cls(use_attn):
+            return nn.remat(DecoderUnit) if (full or (attn_only and use_attn)) \
+                else DecoderUnit
+
+        Mid = nn.remat(MiddleUnit) if (full or attn_only) else MiddleUnit
+        DownRes = nn.remat(ResBlock) if full else ResBlock
 
         time_dim = cfg.model_channels * 4
         emb = timestep_embedding(timesteps, cfg.model_channels)
@@ -335,9 +351,11 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             out_ch = int(mult * cfg.model_channels)
             for i in range(cfg.num_res_blocks):
-                h = Enc(out_ch, ds in cfg.attention_ds, cfg,
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name=f"down_{level}_{i}")(h, emb)
+                use_attn = ds in cfg.attention_ds
+                h = enc_cls(use_attn)(
+                    out_ch, use_attn, cfg,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"down_{level}_{i}")(h, emb)
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
@@ -363,9 +381,11 @@ class UNetModel(nn.Module):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 do_up = (level != 0) and (i == cfg.num_res_blocks)
-                h = Dec(out_ch, ds in cfg.attention_ds, do_up, cfg,
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name=f"up_{level}_{i}")(h, emb)
+                use_attn = ds in cfg.attention_ds
+                h = dec_cls(use_attn)(
+                    out_ch, use_attn, do_up, cfg,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"up_{level}_{i}")(h, emb)
                 if do_up:
                     ds //= 2
         assert not hs

@@ -19,7 +19,11 @@ def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else "b4"
     parts = tag.split("-")
     batch = int(parts[0][1:])
-    remat = "noremat" not in parts
+    remat = "full"
+    if "noremat" in parts:
+        remat = "none"
+    if "attnremat" in parts:
+        remat = "attn"
     fwd_only = "fwd" in parts
     xla_attn = "xlaattn" in parts
     f32 = "f32" in parts
@@ -84,8 +88,12 @@ def main():
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
 
+    from nshmc_tpu.utils.profiling import compiled_flops
+    flops = compiled_flops(fn, x)
     rec = {
         "tag": tag, "batch": batch, "remat": remat, "fwd_only": fwd_only,
+        "xla_flops": flops,
+        "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
         "sec_per_call": round(dt, 4),
         "chain_evals_per_s": round(batch / dt, 4),
