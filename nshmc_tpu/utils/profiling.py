@@ -70,7 +70,8 @@ def compiled_flops(fn, *args) -> Optional[float]:
     accounting in bench reports. Returns None when the backend does not
     expose cost analysis."""
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
