@@ -31,8 +31,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
     from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
     from nshmc_tpu.sampling.ddim import make_decoder
