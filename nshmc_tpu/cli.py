@@ -66,6 +66,8 @@ def get_parser():
                         "matching unet_ffhq.py:87-90)")
     p.add_argument("--checkpoint-dir", default="",
                    help="chain-state snapshot dir (resume support)")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-epoch progress prints (host-synced observed mode)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     return p
@@ -176,6 +178,27 @@ def run_pixel(opt):
                                      sched, seq), op_, y_),
                 )
                 out = runner(params, operator, y0[0], states)
+            elif opt.checkpoint_dir or opt.verbose:
+                from .hmc.engine import run_hmc_observed
+                from .utils.metrics import psnr as psnr_fn
+
+                orig01 = jnp.asarray(x01)[None]
+
+                def report(states, rnd):
+                    e = int(states.epoch[0])
+                    dec01 = im.inverse_data_transform(states.last_decoded[:1])
+                    p = float(psnr_fn(dec01, orig01)[0])
+                    print(f"  attempt {rnd}: epoch {e} "
+                          f"PSNR {p:.2f} sigma_y {float(states.sigma_y[0]):.3f} "
+                          f"tau {float(states.tau[0]):.3f}")
+
+                ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")
+                         if opt.checkpoint_dir else "")
+                out = run_hmc_observed(
+                    loss_fn, hmc_cfg, states,
+                    callback=report if opt.verbose else None,
+                    checkpoint_dir=ckdir,
+                )
             else:
                 out = jax.jit(lambda s: run_hmc(loss_fn, hmc_cfg, s))(states)
             samples = np.asarray(out.samples).reshape(

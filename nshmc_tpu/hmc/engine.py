@@ -277,3 +277,49 @@ def init_chains(key, cfg: HMCConfig, n_chains: int, x_shape, decoded_shape=None)
     return jax.vmap(
         lambda k: init_chain_state(k, cfg, x_shape, decoded_shape)
     )(keys)
+
+
+def run_hmc_observed(
+    loss_fn: LossFn,
+    cfg: HMCConfig,
+    states: ChainState,
+    callback=None,
+    checkpoint_dir: str = "",
+    checkpoint_every: int = 10,
+):
+    """Host-observed multi-chain HMC: a Python loop over jitted lockstep
+    attempt rounds, invoking `callback(states, round)` after each round (for
+    per-epoch progress prints mirroring main_sampling.py:733-742) and
+    snapshotting chain state every `checkpoint_every` rounds (resume
+    supported). Slower than `run_hmc` (one host sync per round) — use for
+    interactive runs; the jitted driver for production."""
+    from ..utils.checkpointing import save_chain_state, load_chain_state
+
+    attempt = jax.jit(jax.vmap(lambda s: hmc_attempt(loss_fn, cfg, s)))
+
+    start_round = 0
+    if checkpoint_dir:
+        restored = load_chain_state(checkpoint_dir, states, step=0)
+        if restored is not None:
+            states = jax.tree.map(jnp.asarray, restored)
+            start_round = int(jnp.max(states.attempts))
+
+    for rnd in range(start_round, cfg.max_attempts):
+        if bool(jnp.all(states.epoch >= cfg.total_epochs)):
+            break
+        prev = states
+        new_states = attempt(states)
+        done = prev.epoch >= cfg.total_epochs
+        states = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            new_states, prev,
+        )
+        if callback is not None:
+            callback(states, rnd)
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            save_chain_state(checkpoint_dir, states, step=0)
+    if checkpoint_dir:
+        save_chain_state(checkpoint_dir, states, step=0)
+    return states
