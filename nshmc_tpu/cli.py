@@ -33,9 +33,10 @@ def get_parser():
     p = argparse.ArgumentParser(description="nshmc_tpu sampling driver")
     p.add_argument("--config", default="configs/ffhq.yaml")
     p.add_argument("--algo", default="hmc",
-                   help="hmc | hmc_latent | dmplug_adam | dmplug_lbfgs | "
-                        "ddnm | ddrm | dps | pigdm | dmps | reddiff | "
-                        "diffpir | daps | resample")
+                   help="hmc | hmc_cond | hmc_latent | dmplug_adam | "
+                        "dmplug_lbfgs | ddnm | ddrm | dps | pigdm | dmps | "
+                        "reddiff | diffpir | daps | resample | "
+                        "resample_original")
     p.add_argument("--deg", default="inpaint_random",
                    help="degradation: sr4 | sr16 | sr_bicubic4 | "
                         "inpaint_random | inpaint_box | deblur_gauss | "
@@ -161,7 +162,21 @@ def run_pixel(opt):
         im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
 
         t0 = time.time()
-        if opt.algo == "hmc":
+        if opt.algo == "hmc_cond":
+            from .hmc.adaptation import (
+                ConditionedHMCConfig, init_conditioned_chains,
+                run_conditioned_hmc,
+            )
+
+            ccfg = ConditionedHMCConfig(sigma_0=sigma_0, tau=opt.tau,
+                                        epsilon=opt.epsilon)
+            loss_fn = make_pixel_loss_fn(decode, operator, y0[0])
+            states = init_conditioned_chains(k_run, ccfg, opt.chains, (d, d, c))
+            out = jax.jit(
+                lambda s: run_conditioned_hmc(loss_fn, ccfg, s))(states)
+            samples = np.asarray(out.samples).reshape(
+                -1, *out.samples.shape[2:])
+        elif opt.algo == "hmc":
             hmc_cfg = HMCConfig(sigma_0=sigma_0, tau=opt.tau,
                                 epsilon=opt.epsilon, m=opt.m,
                                 epochs=opt.hmc_epochs,

@@ -127,6 +127,21 @@ def run_latent(opt):
                 algo, z_init, y0, k_run,
             )
             samples = np.asarray(ldm.decode_first_stage(z_out))
+        elif opt.algo == "resample_original":
+            from .sampling.resample_original import (
+                ResampleOriginalConfig, resample_original_sample,
+            )
+
+            rcfg = ResampleOriginalConfig(ddim_steps=max(opt.timesteps, 10))
+            z = jax.random.normal(k_run, (1, zd, zd, unet_cfg.in_channels))
+            z_out = jax.jit(
+                lambda z: resample_original_sample(
+                    ldm.model_fn(stop_gradient=True), ldm.schedule,
+                    ldm.decode_first_stage, ldm.encode_first_stage,
+                    operator, y0, z, k_run, rcfg,
+                )
+            )(z)
+            samples = np.asarray(ldm.decode_first_stage(z_out))
         else:
             raise NotImplementedError(opt.algo)
         dt = time.time() - t0
