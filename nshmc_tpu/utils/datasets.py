@@ -101,3 +101,29 @@ def iterate(dataset, start: int = 0, end: Optional[int] = None,
     end = len(dataset) if end is None else min(end, len(dataset))
     for i in idx[start:end]:
         yield int(i), dataset[int(i)]
+
+
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetch so host image decode overlaps device
+    compute — the TPU-side stand-in for the reference's multi-worker
+    DataLoader (main_sampling.py:396-403)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

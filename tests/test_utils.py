@@ -109,3 +109,10 @@ def test_nonlinear_blur_operator():
     # differentiable through the blur net
     g = jax.grad(lambda x: jnp.sum(op.H(x) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_prefetch_iterator():
+    from nshmc_tpu.utils.datasets import prefetch
+
+    out = list(prefetch(iter(range(10)), depth=3))
+    assert out == list(range(10))
