@@ -24,7 +24,7 @@ EVALS_PER_SAMPLE = 21 * 100  # (L+1) energy evals x (60 anneal + 40 burn/sample)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_CHAINS", "4"))
+    batch = int(os.environ.get("BENCH_CHAINS", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     tiny = os.environ.get("BENCH_TINY", "") == "1"
 

@@ -279,6 +279,20 @@ def init_chains(key, cfg: HMCConfig, n_chains: int, x_shape, decoded_shape=None)
     )(keys)
 
 
+def run_hmc_multi(loss_fn_builder, cfg: HMCConfig, states: ChainState, y0s):
+    """Images x chains vectorization: `states` has leading axes
+    (n_images, n_chains, ...), `y0s` is (n_images, d_y). Each image gets its
+    own measurement via loss_fn_builder(y0) -> loss_fn; chains within an
+    image share it. One jitted program covers the whole batch — the
+    throughput-serving shape the reference's one-image-at-a-time driver
+    cannot express."""
+
+    def per_image(states_i, y0_i):
+        return run_hmc(loss_fn_builder(y0_i), cfg, states_i)
+
+    return jax.vmap(per_image)(states, y0s)
+
+
 def run_hmc_observed(
     loss_fn: LossFn,
     cfg: HMCConfig,

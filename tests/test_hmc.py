@@ -171,3 +171,28 @@ def test_end_to_end_tiny_unet():
     assert np.isfinite(np.asarray(out.last_loss)).all()
     assert np.asarray(out.samples).shape == (2, 2, d, d, 3)
     assert (np.asarray(out.attempts) <= 30).all()
+
+
+def test_multi_image_multi_chain():
+    from nshmc_tpu.hmc.engine import run_hmc_multi
+
+    dim = 16
+    shape = (4, 4, 1)
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, dim), jnp.float32)
+    y0s = jnp.asarray(rng.standard_normal((3, dim)), jnp.float32)  # 3 images
+
+    def builder(y0):
+        def loss_fn(x):
+            r = y0 - a * x.reshape(-1)
+            return jnp.sum(r**2), x
+
+        return loss_fn
+
+    cfg = HMCConfig(sigma_0=0.3, tau=0.3, epsilon=0.05, epochs=2, sampling=2,
+                    max_attempts=100)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    states = jax.vmap(lambda k: init_chains(k, cfg, 2, shape))(keys)
+    out = jax.jit(lambda s: run_hmc_multi(builder, cfg, s, y0s))(states)
+    assert np.asarray(out.samples).shape == (3, 2, 2, 4, 4, 1)
+    assert (np.asarray(out.epoch) == cfg.total_epochs).all()
