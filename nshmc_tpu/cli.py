@@ -54,6 +54,10 @@ def get_parser():
                    help="HMC burn-in/sample epochs (ref: main_sampling.py:666)")
     p.add_argument("--sigma_y", type=float, default=1.0,
                    help="latent HMC geometric anneal start")
+    p.add_argument("--latent_epochs", type=int, default=50,
+                   help="latent HMC anneal attempts (ref: main_sampling_latent.py:628)")
+    p.add_argument("--latent_sampling", type=int, default=10,
+                   help="latent HMC post-anneal half-window (ref: :629)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--noise", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("-i", "--image_folder", default="out")

@@ -100,6 +100,8 @@ def run_latent(opt):
             hmc_cfg = LatentHMCConfig(
                 sigma_0=sigma_0, sigma_y0=opt.sigma_y, tau=opt.tau,
                 epsilon=opt.epsilon, m=opt.m,
+                epochs=opt.latent_epochs, sampling=opt.latent_sampling,
+                keep_samples=min(10, max(1, opt.latent_sampling)),
             )
             loss_fn = make_latent_loss_fn(
                 decode_z, ldm.decode_first_stage, operator, y0[0]

@@ -80,3 +80,20 @@ def test_cli_metrics_match_reference_formula():
     p_ours = float(psnr(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
     mse = np.mean((a - b) ** 2)
     np.testing.assert_allclose(p_ours, 10 * np.log10(1 / mse), rtol=1e-4)
+
+
+LATENT_CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
+                          "tiny_latent_test.yaml")
+
+
+def test_cli_latent_hmc(tmp_path):
+    from nshmc_tpu.cli import main
+
+    summary = main([
+        "--config", LATENT_CFG, "-i", str(tmp_path), "--subset_end", "1",
+        "--no-bf16", "--algo", "hmc_latent", "--deg", "sr2",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--latent_epochs", "2", "--latent_sampling", "1",
+    ])
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    assert os.path.exists(tmp_path / "0.png")
