@@ -189,6 +189,87 @@ class Deblurring2D(_SeparableDeblur):
         return cls.create(k1, k2, channels, img_dim)
 
 
+class _ReferenceLayoutMixin:
+    """Pixel-major spectral layout with the reference's tiled singulars —
+    bit-compatible with obs_functions/Hfuncs.py Deblurring/Deblurring2D
+    (including their channel-mixing H; see module docstring). Use only when
+    exact parity with upstream measurements is required.
+
+    NOTE: because the layout misaligns singulars with coefficients, the
+    resulting operator depends on the exact SVD basis — use
+    `create_with_factors` with factors from the same SVD routine as the
+    run being reproduced (torch.svd for upstream measurements).
+    """
+
+    @classmethod
+    def create_with_factors(cls, u1, s1, v1, u2, s2, v2, channels, img_dim,
+                            zero_thresh: float = 3e-2, order=None):
+        """Build from explicit 1D-conv SVD factors (u @ diag(s) @ v.T).
+        `order` optionally injects the descending-sort permutation (the
+        misaligned layout is tie-break-sensitive; pass torch's sort indices
+        to reproduce upstream exactly)."""
+        s1 = np.where(np.asarray(s1) < zero_thresh, 0.0, s1)
+        s2 = np.where(np.asarray(s2) < zero_thresh, 0.0, s2)
+        sing = np.outer(s1, s2).reshape(-1)
+        order = np.asarray(order) if order is not None \
+            else np.argsort(-sing, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        return cls(
+            u1=jnp.asarray(u1, jnp.float32),
+            u2=jnp.asarray(u2, jnp.float32),
+            v1=jnp.asarray(v1, jnp.float32),
+            v2=jnp.asarray(v2, jnp.float32),
+            sing_sorted=jnp.asarray(sing[order], jnp.float32),
+            perm=jnp.asarray(order, jnp.int32),
+            inv_perm=jnp.asarray(inv, jnp.int32),
+            _channels=channels,
+            _img_dim=img_dim,
+        )
+
+    def V(self, vec):
+        b = vec.shape[0]
+        d = self._img_dim
+        spec = vec.reshape(b, d * d, self._channels)[:, self.inv_perm, :]
+        x = spec.transpose(0, 2, 1).reshape(b, self._channels, d, d)
+        out = jnp.einsum("ij,bcjk,lk->bcil", self.v1, x, self.v2)
+        return out.reshape(b, -1)
+
+    def Vt(self, vec):
+        b = vec.shape[0]
+        d = self._img_dim
+        x = vec.reshape(b, self._channels, d, d)
+        spec = jnp.einsum("ji,bcjk,kl->bcil", self.v1, x, self.v2)
+        spec = spec.reshape(b, self._channels, -1)[:, :, self.perm]
+        return spec.transpose(0, 2, 1).reshape(b, -1)
+
+    def U(self, vec):
+        b = vec.shape[0]
+        d = self._img_dim
+        spec = vec.reshape(b, d * d, self._channels)[:, self.inv_perm, :]
+        x = spec.transpose(0, 2, 1).reshape(b, self._channels, d, d)
+        out = jnp.einsum("ij,bcjk,lk->bcil", self.u1, x, self.u2)
+        return out.reshape(b, -1)
+
+    def Ut(self, vec):
+        b = vec.shape[0]
+        d = self._img_dim
+        x = vec.reshape(b, self._channels, d, d)
+        spec = jnp.einsum("ji,bcjk,kl->bcil", self.u1, x, self.u2)
+        spec = spec.reshape(b, self._channels, -1)[:, :, self.perm]
+        return spec.transpose(0, 2, 1).reshape(b, -1)
+
+
+class DeblurringReferenceLayout(_ReferenceLayoutMixin, Deblurring):
+    """Deblurring with the reference's exact (pixel-major) spectral layout
+    and `[s, s, s]`-tiled singulars (Hfuncs.py:283-305)."""
+
+
+class Deblurring2DReferenceLayout(_ReferenceLayoutMixin, Deblurring2D):
+    """Deblurring2D with the reference's exact spectral layout
+    (Hfuncs.py:489-525)."""
+
+
 class SRConv(SVDOperator):
     """Strided-convolution super-resolution with reflective padding
     (ref: Hfuncs.py:527-609). Spectral layout is pixel-major (matching the
