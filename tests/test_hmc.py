@@ -196,3 +196,41 @@ def test_multi_image_multi_chain():
     out = jax.jit(lambda s: run_hmc_multi(builder, cfg, s, y0s))(states)
     assert np.asarray(out.samples).shape == (3, 2, 2, 4, 4, 1)
     assert (np.asarray(out.epoch) == cfg.total_epochs).all()
+
+
+def test_sigma_y_annealing_formula():
+    """sigma_y = sigma_0 + 1.6*(1 - e/E)^2 during anneal, then sigma_0
+    (main_sampling.py:683-689)."""
+    from nshmc_tpu.hmc.engine import _sigma_y
+
+    cfg = HMCConfig(sigma_0=0.1, epochs=60, sampling=20)
+    for e in [0, 10, 30, 59]:
+        ref = 0.1 + 1.6 * (1 - e / 60) ** 2
+        np.testing.assert_allclose(
+            float(_sigma_y(cfg, jnp.asarray(e))), ref, rtol=1e-6)
+    for e in [60, 61, 99]:
+        np.testing.assert_allclose(
+            float(_sigma_y(cfg, jnp.asarray(e))), 0.1, rtol=1e-6)
+
+
+def test_leapfrog_energy_conservation_small_eps():
+    """Hamiltonian drift -> 0 as eps -> 0 on a quadratic potential."""
+    from nshmc_tpu.hmc.engine import leapfrog_propose
+
+    a = jnp.ones(DIM, jnp.float32) * 0.8
+    y = jnp.zeros(DIM, jnp.float32)
+
+    def loss_fn(x):
+        r = y - a * x.reshape(-1)
+        return jnp.sum(r**2), x
+
+    drifts = []
+    for eps in [0.1, 0.01]:
+        _, _, _, _, log_ratio = leapfrog_propose(
+            loss_fn, jax.random.normal(jax.random.PRNGKey(0), SHAPE),
+            sigma_y=0.5, eps=eps, n_leapfrog=10, m=1.0,
+            key=jax.random.PRNGKey(1),
+        )
+        drifts.append(abs(float(log_ratio)))
+    # second-order integrator: drift scales ~eps^2
+    assert drifts[1] < drifts[0] * 0.05, drifts
