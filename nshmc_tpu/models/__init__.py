@@ -1,0 +1,2 @@
+from .unet import UNetConfig, UNetModel
+from .ddpm_simple import DDPMConfig, DDPMModel

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +130,7 @@ def attention(q, k, v, use_pallas: bool | None = None):
         b, t, h, ch = q.shape
         use_pallas = (
             _HAS_PALLAS
+            and os.environ.get("NSHMC_DISABLE_PALLAS", "") != "1"
             and jax.default_backend() == "tpu"
             and t % 128 == 0
             and ch % 8 == 0
