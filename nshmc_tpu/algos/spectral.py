@@ -104,6 +104,42 @@ class DDNM(Algo):
         return gt - self._img(op.V(lambda_t[None] * correction), gt)
 
 
+def ddrm_init_x(key, op, y0, sigma_0, alpha_bar_T, shape):
+    """DDRM-correct x_T initialization p(x_T | y).
+
+    Capability re-homed from the reference's dead original DDRM loop
+    (functions/denoising.py:20-38, never imported by the mains — the live
+    algos/ddrm.py drops it and starts from pure noise): spectral directions
+    observed above the noise floor initialize from Sig^-1 U^T y, the rest
+    from scaled Gaussian noise.
+
+    shape: (B, H, W, C); returns an NHWC x_T batch.
+    """
+    from ..operators.base import unflatten_image
+
+    b = shape[0]
+    d = shape[1] * shape[2] * shape[3]
+    s = op.singulars()
+    sigma_pad, _ = _padded_sigma(op, d)
+    largest_sigma = jnp.sqrt(1 - alpha_bar_T) / jnp.sqrt(alpha_bar_T)
+
+    u_t_y = op.Ut(y0)  # (B, rank)
+    large = sigma_pad * largest_sigma > sigma_0
+    s_safe = jnp.where(sigma_pad != 0, sigma_pad, 1.0)
+    inv_sing_zero = jnp.where(large, sigma_0 / s_safe, 0.0)
+
+    init_y = jnp.zeros((b, d))
+    init_y = init_y.at[:, : u_t_y.shape[1]].set(
+        jnp.where(large[None, : u_t_y.shape[1]], u_t_y / s_safe[None, : u_t_y.shape[1]], 0.0)
+    )
+    remaining = jnp.sqrt(
+        jnp.maximum(largest_sigma**2 - inv_sing_zero**2, 0.0)
+    )
+    noise = jax.random.normal(key, (b, d))
+    init_y = (init_y + remaining[None] * noise) / largest_sigma
+    return unflatten_image(op.V(init_y), shape[3], shape[1])
+
+
 class DDRM(Algo):
     """Denoising diffusion restoration model (ref: algos/ddrm.py)."""
 

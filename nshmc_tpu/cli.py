@@ -280,6 +280,11 @@ def run_pixel(opt):
                                                    0)) - 1)
             )
         stats.update(vals)
+        rec = {"idx": idx, "file": os.path.basename(path), "algo": opt.algo,
+               "deg": opt.deg, "wall_s": round(dt, 2),
+               **{k: float(np.mean(v)) for k, v in vals.items()}}
+        with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(f"[{idx}] {os.path.basename(path)}: "
               + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
               + f"  ({dt:.1f}s)")

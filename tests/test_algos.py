@@ -171,3 +171,21 @@ def test_dmplug_adam_reduces_loss_and_early_stops():
     )(x0)
     final_loss = float(loss_and_decode(x_fin)[0])
     assert final_loss < 0.1 * float(loss_and_decode(x0)[0])
+
+
+def test_ddrm_init_x():
+    """DDRM-correct p(x_T|y) initialization: observed directions pull toward
+    Sig^-1 Ut y / sigma_T; unobserved stay ~N(0,1) after scaling."""
+    from nshmc_tpu.algos.spectral import ddrm_init_x
+
+    op = OP  # inpainting
+    at_T = SCHED.alpha_bar(jnp.asarray(750))
+    x = jax.jit(
+        lambda k: ddrm_init_x(k, op, Y0, 0.1, at_T, (2, D, D, C))
+    )(jax.random.PRNGKey(0))
+    assert x.shape == (2, D, D, C)
+    assert np.isfinite(np.asarray(x)).all()
+    # with many samples, the marginal std should be ~1/largest_sigma-ish
+    # scaled mix; just check it's neither 0 nor huge
+    s = float(jnp.std(x))
+    assert 0.1 < s < 3.0, s
