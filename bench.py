@@ -77,11 +77,16 @@ def main():
     jax.block_until_ready(g)
     compile_s = time.time() - t0
 
+    trace_dir = os.environ.get("BENCH_TRACE", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     for i in range(iters):
         v, g = energy_vg(x + 1e-6 * i)
     jax.block_until_ready(g)
     dt = (time.time() - t0) / iters
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     # one energy+grad = `batch` chain-evals; each is 3 U-Net fwd + 3 bwd
     evals_per_s = batch / dt
