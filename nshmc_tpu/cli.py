@@ -73,6 +73,14 @@ def get_parser():
                    help="chain-state snapshot dir (resume support)")
     p.add_argument("--verbose", action="store_true",
                    help="per-epoch progress prints (host-synced observed mode)")
+    p.add_argument("--driver", default="auto",
+                   choices=["auto", "jit", "observed"],
+                   help="HMC execution driver: 'jit' = whole run in one "
+                        "lax.while_loop device call (fastest; real TPU/CPU), "
+                        "'observed' = per-attempt dispatch (required on "
+                        "tunneled single-chip setups whose relay kills "
+                        "long-running executions; enables progress/ckpt). "
+                        "'auto' picks observed on an axon tunnel.")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     return p
@@ -197,7 +205,11 @@ def run_pixel(opt):
                                      sched, seq), op_, y_),
                 )
                 out = runner(params, operator, y0[0], states)
-            elif opt.checkpoint_dir or opt.verbose:
+            elif (opt.checkpoint_dir or opt.verbose
+                  or opt.driver == "observed"
+                  or (opt.driver == "auto"
+                      and os.environ.get("PALLAS_AXON_POOL_IPS")
+                      and jax.default_backend() == "tpu")):
                 from .hmc.engine import run_hmc_observed
                 from .utils.metrics import psnr as psnr_fn
 
