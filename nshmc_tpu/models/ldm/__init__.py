@@ -1,7 +1,9 @@
-from .autoencoder import AutoencoderConfig, VQModel, Encoder, Decoder, VectorQuantizer
+from .autoencoder import (AutoencoderConfig, VQModel, AutoencoderKL, Encoder, Decoder, VectorQuantizer)
 from .ldm import LatentDiffusion, latent_unet_config
+from .distributions import DiagonalGaussian, ema_update
 
 __all__ = [
-    "AutoencoderConfig", "VQModel", "Encoder", "Decoder", "VectorQuantizer",
+    "AutoencoderConfig", "VQModel", "AutoencoderKL", "Encoder", "Decoder",
+    "VectorQuantizer", "DiagonalGaussian", "ema_update",
     "LatentDiffusion", "latent_unet_config",
 ]

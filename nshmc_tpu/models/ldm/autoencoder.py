@@ -212,6 +212,38 @@ class VectorQuantizer(nn.Module):
         return z + jax.lax.stop_gradient(z_q - z)
 
 
+class AutoencoderKL(nn.Module):
+    """KL-regularized first stage (ref: ldm/models/autoencoder.py:285-443):
+    encode returns a DiagonalGaussian over the latent; decode is plain.
+    Use an AutoencoderConfig with double_z=True."""
+
+    config: AutoencoderConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        assert cfg.double_z, "AutoencoderKL requires double_z=True"
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(cfg, **kw)
+        self.decoder = Decoder(cfg, **kw)
+        self.quant_conv = conv(2 * cfg.embed_dim, kernel=1, padding=0, **kw)
+        self.post_quant_conv = conv(cfg.z_channels, kernel=1, padding=0, **kw)
+
+    def encode(self, x):
+        from .distributions import DiagonalGaussian
+
+        moments = self.quant_conv(self.encoder(x))
+        return DiagonalGaussian.from_moments(moments)
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, key):
+        posterior = self.encode(x)
+        return self.decode(posterior.sample(key))
+
+
 class VQModel(nn.Module):
     """VQ first stage with the reference's interface semantics
     (ref: ldm/models/autoencoder.py:264-283)."""

@@ -157,3 +157,31 @@ def test_latent_hmc_end_to_end():
     g = jax.grad(lambda z: loss_fn(z)[0])(np.asarray(out.z)[0])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_autoencoder_kl_and_distribution():
+    from nshmc_tpu.models.ldm import AutoencoderKL, AutoencoderConfig
+    from nshmc_tpu.models.ldm.distributions import DiagonalGaussian, ema_update
+
+    cfg = AutoencoderConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                            z_channels=3, embed_dim=3, n_embed=16,
+                            resolution=16, double_z=True)
+    model = AutoencoderKL(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 16, 16, 3))
+    params = model.init(key, x, key)
+    post = model.apply(params, x, method=AutoencoderKL.encode)
+    assert post.mean.shape == (1, 8, 8, 3)
+    z = post.sample(key)
+    out = model.apply(params, z, method=AutoencoderKL.decode)
+    assert out.shape == x.shape
+    # KL to standard normal is nonnegative; mode == mean
+    assert float(post.kl()[0]) >= 0
+    np.testing.assert_array_equal(np.asarray(post.mode()), np.asarray(post.mean))
+
+    # EMA pulls toward params
+    ema = jax.tree.map(jnp.zeros_like, params)
+    ema2 = ema_update(ema, params, decay=0.5)
+    leaf = jax.tree.leaves(ema2)[0]
+    ref = 0.5 * jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref), atol=1e-6)
