@@ -189,3 +189,20 @@ def test_ddrm_init_x():
     # scaled mix; just check it's neither 0 nor huge
     s = float(jnp.std(x))
     assert 0.1 < s < 3.0, s
+
+
+def test_dmplug_lbfgs_reduces_loss():
+    from nshmc_tpu.solvers.dmplug import dmplug_lbfgs
+
+    a = jnp.asarray(RNG.uniform(0.5, 1.5, (D * D * C,)), jnp.float32)
+    y = jnp.asarray(RNG.standard_normal(D * D * C), jnp.float32)
+
+    def loss_and_decode(x):
+        r = y - a * x.reshape(-1)
+        return jnp.sum(r**2), x
+
+    x0 = jnp.zeros((1, D, D, C))
+    x_fin, dec = jax.jit(
+        lambda x: dmplug_lbfgs(loss_and_decode, x, epochs=3, max_inner=10)
+    )(x0)
+    assert float(loss_and_decode(x_fin)[0]) < 0.05 * float(loss_and_decode(x0)[0])
