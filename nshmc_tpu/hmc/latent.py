@@ -63,9 +63,9 @@ class LatentChainState(struct.PyTreeNode):
     tau: jnp.ndarray
     epsilon: jnp.ndarray
     sigma_y: jnp.ndarray
-    samples: jnp.ndarray  # (keep_samples, *latent_shape) ring buffer of z's
+    samples: jnp.ndarray  # (keep_samples, *latent_shape) ring of z0 latents
     n_kept: jnp.ndarray
-    last_z_accept: jnp.ndarray
+    last_z0_accept: jnp.ndarray  # DDIM-decoded z0 of the last accept
     last_loss: jnp.ndarray
 
 
@@ -83,7 +83,7 @@ def init_latent_chain(key, cfg: LatentHMCConfig, z_shape):
         sigma_y=jnp.asarray(cfg.sigma_y0, jnp.float32),
         samples=jnp.zeros((cfg.keep_samples,) + tuple(z_shape), jnp.float32),
         n_kept=jnp.asarray(0, jnp.int32),
-        last_z_accept=z,
+        last_z0_accept=jnp.zeros(z_shape, jnp.float32),
         last_loss=jnp.asarray(jnp.inf, jnp.float32),
     )
 
@@ -108,13 +108,14 @@ def latent_hmc_attempt(loss_fn: LossFn, cfg: LatentHMCConfig,
     tau = jnp.where(pin, cfg.post_tau, state.tau)
     eps = jnp.where(pin, cfg.post_epsilon, state.epsilon)
 
-    # sample bookkeeping: the reference appends the PREVIOUS x_accept on
-    # post-anneal accepts (:704-709); we keep a ring of the last
-    # `keep_samples` accepted z's of the post-anneal phase
+    # sample bookkeeping: the reference appends the PREVIOUS accepted
+    # DDIM-decoded latent x_accept = iterative_sampling(z_proposal) on
+    # post-anneal accepts (:704-709, :760); we keep a ring of the last
+    # `keep_samples` accepted z0 latents of the post-anneal phase
     keep = accept & ~in_anneal
     samples = jax.lax.cond(
         keep,
-        lambda s: jnp.concatenate([s[1:], state.last_z_accept[None]], axis=0),
+        lambda s: jnp.concatenate([s[1:], state.last_z0_accept[None]], axis=0),
         lambda s: s,
         state.samples,
     )
@@ -138,7 +139,7 @@ def latent_hmc_attempt(loss_fn: LossFn, cfg: LatentHMCConfig,
         sigma_y=sigma_y,
         samples=samples,
         n_kept=n_kept,
-        last_z_accept=jnp.where(accept, zp, state.last_z_accept),
+        last_z0_accept=jnp.where(accept, dec_z, state.last_z0_accept),
         last_loss=jnp.where(accept, loss, state.last_loss),
     )
 
