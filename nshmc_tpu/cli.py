@@ -64,6 +64,9 @@ def get_parser():
     p.add_argument("--subset_start", type=int, default=0)
     p.add_argument("--subset_end", type=int, default=1)
     p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--image_batch", type=int, default=1,
+                   help="vectorize HMC over N images at once "
+                        "(images x chains in one jitted program)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard chains over N devices (0 = single device)")
     p.add_argument("--ckpt", default="",
@@ -160,6 +163,10 @@ def run_pixel(opt):
             lpips_fn = loaded[0]
     except Exception:
         pass
+
+    if opt.algo == "hmc" and opt.image_batch > 1:
+        return _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq,
+                                      operator, sigma_0, files, stats)
 
     for idx, path in enumerate(files):
         x01 = im.load_image(path, d)
@@ -301,6 +308,72 @@ def run_pixel(opt):
               + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
               + f"  ({dt:.1f}s)")
 
+    summary = stats.summary()
+    print(json.dumps({"summary": summary}))
+    return summary
+
+
+def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
+                           sigma_0, files, stats):
+    """Images x chains in one jitted program per batch (run_hmc_multi)."""
+    import jax
+    import jax.numpy as jnp
+    from .sampling.ddim import make_decoder
+    from .hmc.engine import (
+        HMCConfig, init_chains, make_pixel_loss_fn, run_hmc_multi,
+    )
+    from .utils import images as im
+    from .utils.metrics import psnr, ssim
+
+    d = cfg["data"]["image_size"]
+    c = cfg["data"]["channels"]
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    hmc_cfg = HMCConfig(sigma_0=sigma_0, tau=opt.tau, epsilon=opt.epsilon,
+                        m=opt.m, epochs=opt.hmc_epochs,
+                        sampling=opt.hmc_sampling)
+
+    def builder(y0):
+        return make_pixel_loss_fn(decode, operator, y0)
+
+    runner = jax.jit(
+        lambda s, y: run_hmc_multi(builder, hmc_cfg, s, y)
+    )
+
+    bsz = opt.image_batch
+    for start in range(0, len(files), bsz):
+        chunk = files[start:start + bsz]
+        x01s = np.stack([im.load_image(p, d) for p in chunk])
+        x_orig = im.data_transform(jnp.asarray(x01s))
+        key = jax.random.PRNGKey(opt.seed + start)
+        k_noise, k_run = jax.random.split(key)
+        y0s = operator.H_img(x_orig)
+        y0s = y0s + sigma_0 * jax.random.normal(k_noise, y0s.shape)
+        keys = jax.random.split(k_run, len(chunk))
+        states = jax.vmap(
+            lambda k: init_chains(k, hmc_cfg, opt.chains, (d, d, c))
+        )(keys)
+        t0 = time.time()
+        out = runner(states, y0s)
+        jax.block_until_ready(out.samples)
+        dt = time.time() - t0
+        for bi, path in enumerate(chunk):
+            idx = start + bi
+            samples01 = np.asarray(im.inverse_data_transform(
+                jnp.asarray(np.asarray(out.samples)[bi]).reshape(
+                    -1, d, d, c)))
+            im.save_image(samples01[-1],
+                          os.path.join(opt.image_folder, f"{idx}.png"))
+            orig01 = np.repeat(x01s[bi][None], samples01.shape[0], 0)
+            vals = {
+                "psnr": np.asarray(psnr(jnp.asarray(samples01),
+                                        jnp.asarray(orig01))),
+                "ssim": np.asarray(ssim(jnp.asarray(samples01),
+                                        jnp.asarray(orig01))),
+            }
+            stats.update(vals)
+            print(f"[{idx}] {os.path.basename(path)}: "
+                  + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
+                  + f"  ({dt / len(chunk):.1f}s/img)")
     summary = stats.summary()
     print(json.dumps({"summary": summary}))
     return summary

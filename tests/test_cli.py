@@ -97,3 +97,18 @@ def test_cli_latent_hmc(tmp_path):
     ])
     assert "psnr" in summary and np.isfinite(summary["psnr"])
     assert os.path.exists(tmp_path / "0.png")
+
+
+def test_cli_hmc_image_batched(tmp_path):
+    from nshmc_tpu.cli import main
+
+    summary = main([
+        "--config", CFG, "-i", str(tmp_path), "--subset_end", "2",
+        "--no-bf16", "--algo", "hmc", "--deg", "sr2",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--hmc_epochs", "2", "--hmc_sampling", "1",
+        "--image_batch", "2", "--chains", "2",
+    ])
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    assert os.path.exists(tmp_path / "0.png")
+    assert os.path.exists(tmp_path / "1.png")
