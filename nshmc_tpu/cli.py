@@ -356,8 +356,13 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
         out = runner(states, y0s)
         jax.block_until_ready(out.samples)
         dt = time.time() - t0
+        y_pinv = operator.H_pinv_img(y0s)
         for bi, path in enumerate(chunk):
             idx = start + bi
+            im.save_image(x01s[bi],
+                          os.path.join(opt.image_folder, f"orig_{idx}.png"))
+            im.save_image(im.inverse_data_transform(y_pinv[bi]),
+                          os.path.join(opt.image_folder, f"y0_{idx}.png"))
             samples01 = np.asarray(im.inverse_data_transform(
                 jnp.asarray(np.asarray(out.samples)[bi]).reshape(
                     -1, d, d, c)))
@@ -371,6 +376,13 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
                                         jnp.asarray(orig01))),
             }
             stats.update(vals)
+            rec = {"idx": idx, "file": os.path.basename(path),
+                   "algo": opt.algo, "deg": opt.deg,
+                   "wall_s": round(dt / len(chunk), 2),
+                   **{k: float(np.mean(v)) for k, v in vals.items()}}
+            with open(os.path.join(opt.image_folder, "metrics.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(rec) + "\n")
             print(f"[{idx}] {os.path.basename(path)}: "
                   + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
                   + f"  ({dt / len(chunk):.1f}s/img)")
