@@ -27,6 +27,7 @@ def main():
     fwd_only = "fwd" in parts
     xla_attn = "xlaattn" in parts
     f32 = "f32" in parts
+    p16 = "p16" in parts
 
     import jax
     import jax.numpy as jnp
@@ -52,6 +53,10 @@ def main():
     model = UNetModel(cfg, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
                         jnp.zeros((1,)))
+    if p16:  # store master weights in bf16 to halve weight HBM traffic
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
@@ -93,6 +98,7 @@ def main():
         "xla_flops": flops,
         "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
+        "param_bf16": p16,
         "sec_per_call": round(dt, 4),
         "chain_evals_per_s": round(batch / dt, 4),
         "compile_s": round(compile_s, 1),
