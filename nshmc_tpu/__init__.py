@@ -13,7 +13,7 @@ Layout:
   schedules   — beta/alpha-cumprod tables and DDIM timestep sequences
   operators   — matrix-free SVD forward operators (H = U S V^T)
   models      — Flax score networks (ADM U-Net, DDPM simple, LDM stack)
-  ops         — Pallas TPU kernels (flash attention, fused groupnorm, FWHT)
+  ops         — Pallas TPU kernels (fused attention with custom vjp)
   sampling    — differentiable DDIM decode loop (lax.scan)
   algos       — posterior-sampling step functions (cal_x0 / map_back registry)
   hmc         — noise-space HMC engine (leapfrog, MH, annealing, adaptation)
