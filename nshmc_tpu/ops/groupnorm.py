@@ -4,24 +4,32 @@ The GroupNorm->SiLU prologue of every ResBlock (models/unet.py, matching
 the reference's GroupNorm32 + SiLU pair, guided_diffusion/nn.py:17-19) is
 HBM-bandwidth-bound at 256^2 resolutions: XLA materializes the normalized
 fp32 intermediate between the norm and the activation. This kernel fuses
-normalization, affine, and SiLU into one VMEM-resident pass per row block,
-with a separate single-pass statistics kernel (two passes total, reading x
-twice but writing once — vs three-plus materializations unfused).
+normalization, affine, and SiLU into one VMEM-resident pass per row block.
 
-Status: forward parity + custom-vjp gradient tested in interpret mode
-(tests/test_groupnorm.py); the backward recomputes through the XLA
-reference path (residuals = just x, scale, bias — same remat philosophy as
-ops/attention.py). Not yet wired into the U-Net by default — flipping
-models/nn.py to call `groupnorm_silu` is a round-2 benchmark decision.
+Structure (Mosaic cannot reshape the 128-wide lane dimension, so group
+reductions never happen in-kernel):
+  1. stats kernel: per-CHANNEL [sum, sumsq] accumulated across row blocks
+     (lanes stay channel-aligned)
+  2. an O(B*C) XLA group-combine producing channel-expanded mean / rsqrt
+  3. normalize kernel: (x - mean_c) * inv_c * scale + bias, then SiLU
+
+custom-vjp backward recomputes through the XLA reference path (residuals =
+inputs only — same remat philosophy as ops/attention.py). Forward parity +
+gradients tested in interpret mode (tests/test_groupnorm.py) and the
+compiled kernel validated bit-exact on TPU hardware.
+
+BENCHMARK VERDICT (TPU v5e, (2,64,64,128) bf16): 3.08 ms vs 1.63 ms for
+the XLA path — XLA's producer-consumer fusion already handles GN+SiLU
+better than this two-pass kernel. NOT wired into the U-Net; kept as
+measured negative evidence steering round-2 optimization toward the conv
+backward path instead.
 """
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -44,16 +52,13 @@ def groupnorm_silu_xla(x, scale, bias, num_groups: int = 32,
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
-def _stats_kernel(x_ref, out_ref, acc_ref, *, num_groups, rows_total):
-    """Accumulate per-group [sum, sumsq] across row blocks of one batch
-    element. Grid (B, RB); out block (1, 2, G) revisited across rb."""
+def _stats_kernel(x_ref, out_ref, acc_ref):
+    """Accumulate per-channel [sum, sumsq] across row blocks of one batch
+    element. Grid (B, RB); out block (1, 2, C) revisited across rb."""
     rb = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)  # (rows, C)
-    rows, c = x.shape
-    cg = c // num_groups
-    xg = x.reshape(rows, num_groups, cg)
-    s = jnp.sum(xg, axis=(0, 2))  # (G,)
-    s2 = jnp.sum(xg * xg, axis=(0, 2))
+    s = jnp.sum(x, axis=0)
+    s2 = jnp.sum(x * x, axis=0)
 
     @pl.when(rb == 0)
     def _():
@@ -67,20 +72,10 @@ def _stats_kernel(x_ref, out_ref, acc_ref, *, num_groups, rows_total):
         out_ref[0] = acc_ref[...]
 
 
-def _norm_kernel(x_ref, stats_ref, scale_ref, bias_ref, o_ref, *,
-                 num_groups, rows_total, eps):
+def _norm_kernel(x_ref, mean_ref, inv_ref, scale_ref, bias_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)  # (rows, C)
-    rows, c = x.shape
-    cg = c // num_groups
-    n = rows_total * cg
-    s = stats_ref[0, 0, :]  # (G,)
-    s2 = stats_ref[0, 1, :]
-    mean = s / n
-    var = s2 / n - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
-    mean_c = jnp.repeat(mean, cg)[None, :]  # (1, C)
-    inv_c = jnp.repeat(inv, cg)[None, :]
-    y = (x - mean_c) * inv_c * scale_ref[0][None, :] + bias_ref[0][None, :]
+    y = (x - mean_ref[0, 0][None, :]) * inv_ref[0, 0][None, :]
+    y = y * scale_ref[0, 0][None, :] + bias_ref[0, 0][None, :]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -91,40 +86,51 @@ def _pallas_forward(x, scale, bias, num_groups: int, eps: float,
     rb = min(row_block, rows_total)
     assert rows_total % rb == 0, (rows_total, rb)
     n_rb = rows_total // rb
+    cg = c // num_groups
     xr = x.reshape(b, rows_total, c)
 
-    stats = pl.pallas_call(
-        functools.partial(_stats_kernel, num_groups=num_groups,
-                          rows_total=rows_total),
+    ch_stats = pl.pallas_call(
+        _stats_kernel,
         grid=(b, n_rb),
         in_specs=[pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 2, num_groups), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, num_groups), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, num_groups), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=interpret,
     )(xr)
 
+    # O(B*C) group combine in XLA, expanded back to channels
+    n = rows_total * cg
+    g_sum = ch_stats[:, 0].reshape(b, num_groups, cg).sum(-1)
+    g_sum2 = ch_stats[:, 1].reshape(b, num_groups, cg).sum(-1)
+    g_mean = g_sum / n
+    g_var = g_sum2 / n - g_mean**2
+    # (B, 1, C): the singleton sublane dim keeps TPU block shapes legal
+    mean_c = jnp.repeat(g_mean, cg, axis=1)[:, None, :]
+    inv_c = jnp.repeat(jax.lax.rsqrt(g_var + eps), cg, axis=1)[:, None, :]
+
     out = pl.pallas_call(
-        functools.partial(_norm_kernel, num_groups=num_groups,
-                          rows_total=rows_total, eps=eps),
+        _norm_kernel,
         grid=(b, n_rb),
         in_specs=[
             pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, num_groups), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows_total, c), x.dtype),
         interpret=interpret,
-    )(xr, stats, scale[None], bias[None])
+    )(xr, mean_c, inv_c, scale[None, None], bias[None, None])
     return out.reshape(b, h, w, c)
 
 
