@@ -49,11 +49,19 @@ class GroupNorm32(nn.GroupNorm):
         return y.astype(x.dtype)
 
 
-def groupnorm32(name: str, param_dtype: Dtype = jnp.float32) -> GroupNorm32:
-    return GroupNorm32(
-        num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-        param_dtype=param_dtype, name=name,
-    )
+def groupnorm32(name: str, param_dtype: Dtype = jnp.float32,
+                fp32: bool = True):
+    """fp32=True is the parity default (reference GroupNorm32 islands);
+    fp32=False keeps the activation dtype end-to-end (perf experiment —
+    the fp32 islands force f32 materialization of every norm output in a
+    bandwidth-bound model)."""
+    if fp32:
+        return GroupNorm32(
+            num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+            param_dtype=param_dtype, name=name,
+        )
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=None,
+                        param_dtype=param_dtype, name=name)
 
 
 def conv(features: int, kernel: int = 3, stride: int = 1, padding: int = 1,

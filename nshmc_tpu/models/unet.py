@@ -66,6 +66,8 @@ class UNetConfig:
     # "none" (store everything — fastest backward when memory allows).
     # bool accepted for compatibility (True -> "full").
     remat: object = "full"
+    # fp32 GroupNorm islands (parity default; False = keep activation dtype)
+    norm_fp32: bool = True
 
     @classmethod
     def from_model_yaml(cls, **kw) -> "UNetConfig":
@@ -118,11 +120,12 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_fp32: bool = True
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = groupnorm32("in_norm", self.param_dtype)(x)
+        h = groupnorm32("in_norm", self.param_dtype, self.norm_fp32)(x)
         h = silu(h)
         if self.up:
             h = nearest_upsample_2x(h)
@@ -141,11 +144,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = groupnorm32("out_norm", self.param_dtype)(h)
+            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32)(h)
             h = h * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = groupnorm32("out_norm", self.param_dtype)(h)
+            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32)(h)
         h = silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -168,6 +171,7 @@ class AttentionBlock(nn.Module):
     num_head_channels: int = -1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_fp32: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -179,7 +183,7 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         ch = c // heads
 
-        h = groupnorm32("norm", self.param_dtype)(x)
+        h = groupnorm32("norm", self.param_dtype, self.norm_fp32)(x)
         tokens = h.reshape(b, hh * ww, c)
         qkv = dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="qkv")(tokens)
@@ -235,11 +239,12 @@ class EncoderUnit(nn.Module):
         cfg = self.config
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="res")(h, emb)
+                     param_dtype=self.param_dtype,
+                     norm_fp32=cfg.norm_fp32, name="res")(h, emb)
         if self.use_attn:
             h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
                                dtype=self.dtype, param_dtype=self.param_dtype,
-                               name="attn")(h)
+                               norm_fp32=cfg.norm_fp32, name="attn")(h)
         return h
 
 
@@ -254,13 +259,13 @@ class MiddleUnit(nn.Module):
         ch = h.shape[-1]
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="res1")(h, emb)
+                     norm_fp32=cfg.norm_fp32, name="res1")(h, emb)
         h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
                            dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="attn")(h)
+                           norm_fp32=cfg.norm_fp32, name="attn")(h)
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="res2")(h, emb)
+                     norm_fp32=cfg.norm_fp32, name="res2")(h, emb)
         return h
 
 
@@ -280,18 +285,20 @@ class DecoderUnit(nn.Module):
         cfg = self.config
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="res")(h, emb)
+                     param_dtype=self.param_dtype,
+                     norm_fp32=cfg.norm_fp32, name="res")(h, emb)
         if self.use_attn:
             heads_attr = cfg.num_heads_upsample if cfg.num_heads_upsample != -1 \
                 else cfg.num_heads
             h = AttentionBlock(heads_attr, cfg.num_head_channels,
                                dtype=self.dtype, param_dtype=self.param_dtype,
-                               name="attn")(h)
+                               norm_fp32=cfg.norm_fp32, name="attn")(h)
         if self.do_up:
             if cfg.resblock_updown:
                 h = ResBlock(h.shape[-1], cfg.use_scale_shift_norm, up=True,
                              dropout=cfg.dropout, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="upres")(h, emb)
+                             param_dtype=self.param_dtype,
+                             norm_fp32=cfg.norm_fp32, name="upres")(h, emb)
             else:
                 h = Upsample(h.shape[-1], cfg.conv_resample, dtype=self.dtype,
                              param_dtype=self.param_dtype, name="upsample")(h)
@@ -362,6 +369,7 @@ class UNetModel(nn.Module):
                     h = DownRes(h.shape[-1], cfg.use_scale_shift_norm, down=True,
                                 dropout=cfg.dropout, dtype=self.dtype,
                                 param_dtype=self.param_dtype,
+                                norm_fp32=cfg.norm_fp32,
                                 name=f"down_{level}_downres")(h, emb)
                 else:
                     h = Downsample(h.shape[-1], cfg.conv_resample,
@@ -390,7 +398,7 @@ class UNetModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        h = groupnorm32("out_norm", self.param_dtype)(h)
+        h = groupnorm32("out_norm", self.param_dtype, cfg.norm_fp32)(h)
         h = silu(h)
         h = conv(cfg.out_channels, zero_init=True, dtype=self.dtype,
                  param_dtype=self.param_dtype, name="out_conv")(h)

@@ -28,6 +28,7 @@ def main():
     xla_attn = "xlaattn" in parts
     f32 = "f32" in parts
     p16 = "p16" in parts
+    gn16 = "gn16" in parts
 
     import jax
     import jax.numpy as jnp
@@ -47,7 +48,7 @@ def main():
         learn_sigma=True, attention_resolutions=16, num_heads=4,
         num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
     )
-    cfg = UNetConfig(**{**cfg.__dict__, "remat": remat})
+    cfg = UNetConfig(**{**cfg.__dict__, "remat": remat, "norm_fp32": not gn16})
     d = cfg.image_size
     dtype = jnp.float32 if f32 else jnp.bfloat16
     model = UNetModel(cfg, dtype=dtype)
@@ -98,7 +99,7 @@ def main():
         "xla_flops": flops,
         "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
-        "param_bf16": p16,
+        "param_bf16": p16, "gn16": gn16,
         "sec_per_call": round(dt, 4),
         "chain_evals_per_s": round(batch / dt, 4),
         "compile_s": round(compile_s, 1),
