@@ -120,3 +120,22 @@ def test_bf16_forward_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(out16), np.asarray(out32), atol=0.1, rtol=0.1
     )
+
+
+def test_norm_fp32_toggle():
+    """norm_fp32=False keeps outputs close to the fp32-island default (perf
+    experiment path; parity default remains fp32)."""
+    cfg32 = UNetConfig.from_model_yaml(**TINY)
+    cfg16 = UNetConfig(**{**cfg32.__dict__, "norm_fp32": False})
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (1, 16, 16, 3))
+    t = jnp.asarray([300.0])
+    m32 = UNetModel(cfg32)
+    params = m32.init(key, x, t)
+    out32 = m32.apply(params, x, t)
+    out16 = UNetModel(cfg16).apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=1e-4, rtol=1e-3)
+    outbf = UNetModel(cfg16, dtype=jnp.bfloat16).apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32),
+                               atol=0.12, rtol=0.1)
