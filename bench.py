@@ -27,6 +27,10 @@ def main():
     batch = int(os.environ.get("BENCH_CHAINS", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     tiny = os.environ.get("BENCH_TINY", "") == "1"
+    norm_fp32 = os.environ.get("BENCH_NORM_FP32", "1") != "0"
+    remat = os.environ.get("BENCH_REMAT", "full")
+    if os.environ.get("BENCH_MODE", "pixel") == "latent":
+        return latent_main(batch, iters, tiny)
 
     import jax
     import jax.numpy as jnp
@@ -47,6 +51,8 @@ def main():
             learn_sigma=True, attention_resolutions=16, num_heads=4,
             num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
         )
+    import dataclasses
+    cfg = dataclasses.replace(cfg, norm_fp32=norm_fp32, remat=remat)
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
@@ -112,8 +118,85 @@ def main():
             "chains": batch,
             "sec_per_energy_grad_batch": round(dt, 4),
             "compile_s": round(compile_s, 1),
+            "norm_fp32": norm_fp32,
+            "remat": remat,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+def latent_main(batch: int, iters: int, tiny: bool = False):
+    """Latent flagship (BENCH_MODE=latent): hmc_latent energy+grad on the
+    CelebA-HQ LDM config — 3-step latent DDIM (stop-grad eps-net, parity with
+    ddpm.py:892) + differentiable VQ-f4 decode + inpainting residual at 256^2
+    (ref budget: main_sampling_latent.py:628-664)."""
+    import jax
+    import jax.numpy as jnp
+    from nshmc_tpu.models.ldm.ldm import LatentDiffusion, latent_unet_config
+    from nshmc_tpu.models.ldm.autoencoder import AutoencoderConfig
+    from nshmc_tpu.schedules import DDIMSequence
+    from nshmc_tpu.sampling.ddim import make_decoder
+    from nshmc_tpu.operators import Inpainting
+
+    if tiny:
+        ldm = LatentDiffusion.create(
+            jax.random.PRNGKey(0),
+            unet_cfg=latent_unet_config(
+                image_size=16, model_channels=32, num_res_blocks=1,
+                channel_mult=(1, 2), attention_ds=(2,), num_head_channels=16),
+            ae_cfg=AutoencoderConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                     resolution=32),
+            dtype=jnp.bfloat16)
+        zdim = 16  # 32^2 pixels / f2 AE (ch_mult depth 2) -> 16^2 latents
+        d = 32
+    else:
+        ldm = LatentDiffusion.create(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        zdim = 64
+        d = 256
+    seq = DDIMSequence.create(1000, 3)
+    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(d * d)[: int(d * d * 0.92)]
+    mr = 3 * perm
+    op = Inpainting.create(3, d, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
+    y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
+
+    def loss(z):
+        z0 = decode_z(z)
+        x0 = ldm.decode_first_stage(z0)
+        r = y0[None] - op.H_img(x0)
+        return jnp.sum(r**2)
+
+    energy_vg = jax.jit(jax.value_and_grad(loss))
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, zdim, zdim, 3),
+                          jnp.float32)
+
+    t0 = time.time()
+    v, g = energy_vg(z)
+    jax.block_until_ready(g)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(iters):
+        v, g = energy_vg(z + 1e-6 * i)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+
+    evals_per_s = batch / dt
+    # latent budget: 70 attempts x (L+1)=21 evals (BASELINE.md)
+    samples_per_s = evals_per_s / (70 * 21)
+    print(json.dumps({
+        "metric": "hmc_latent_samples_per_s_per_chip_celebahq256_inpaint_t3",
+        "value": round(samples_per_s, 6),
+        "unit": "samples/s/chip",
+        "vs_baseline": 1.0,
+        "detail": {
+            "energy_grad_evals_per_s": round(evals_per_s, 4),
+            "chains": batch,
+            "sec_per_energy_grad_batch": round(dt, 4),
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
         },
     }))
 
