@@ -85,6 +85,15 @@ def run_latent(opt):
     files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
     os.makedirs(opt.image_folder, exist_ok=True)
     stats = RunningStats()
+    lpips_fn = None
+    try:
+        from .utils.lpips import try_load_lpips
+
+        loaded = try_load_lpips()
+        if loaded:
+            lpips_fn = loaded[0]
+    except Exception:
+        pass
 
     for idx, path in enumerate(files):
         x01 = im.load_image(path, d)
@@ -93,6 +102,9 @@ def run_latent(opt):
         k_noise, k_run = jax.random.split(key)
         y0 = operator.H_img(x_orig)
         y0 = y0 + sigma_0 * jax.random.normal(k_noise, y0.shape)
+        y_pinv = operator.H_pinv_img(y0)
+        im.save_image(im.inverse_data_transform(y_pinv[0]),
+                      os.path.join(opt.image_folder, f"y0_{idx}.png"))
         im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
 
         t0 = time.time()
@@ -109,7 +121,48 @@ def run_latent(opt):
             states = init_latent_chains(
                 k_run, hmc_cfg, opt.chains, (zd, zd, unet_cfg.in_channels)
             )
-            out = jax.jit(lambda s: run_latent_hmc(loss_fn, hmc_cfg, s))(states)
+            if opt.mesh > 1:
+                from .parallel.chains import chain_mesh, make_sharded_latent_hmc
+                from .sampling.ddim import make_decoder as _mk
+
+                def builder(unet_params, ae_params, op_, y_):
+                    ldm_r = ldm  # structural reuse; params passed explicitly
+                    model_fn = lambda z, t: jax.lax.stop_gradient(
+                        ldm_r.unet.apply(unet_params, z, t))
+                    dec_z = _mk(model_fn, ldm_r.schedule, seq)
+                    dec_x = lambda z: ldm_r.first_stage.apply(
+                        ae_params, z / ldm_r.scale_factor,
+                        method=type(ldm_r.first_stage).decode)
+                    return make_latent_loss_fn(dec_z, dec_x, op_, y_)
+
+                runner = make_sharded_latent_hmc(
+                    hmc_cfg, chain_mesh(opt.mesh), builder)
+                out = runner(ldm.unet_params, ldm.first_stage_params,
+                             operator, y0[0], states)
+            elif (opt.checkpoint_dir or opt.verbose
+                  or opt.driver == "observed"
+                  or (opt.driver == "auto"
+                      and os.environ.get("PALLAS_AXON_POOL_IPS")
+                      and jax.default_backend() == "tpu")):
+                from .hmc.latent import run_latent_hmc_observed
+
+                def report(states, rnd):
+                    print(f"  attempt {rnd}: accepted "
+                          f"{int(states.accepted[0])} "
+                          f"loss {float(states.last_loss[0]):.1f} "
+                          f"sigma_y {float(states.sigma_y[0]):.3f} "
+                          f"tau {float(states.tau[0]):.3f}")
+
+                ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")
+                         if opt.checkpoint_dir else "")
+                out = run_latent_hmc_observed(
+                    loss_fn, hmc_cfg, states,
+                    callback=report if opt.verbose else None,
+                    checkpoint_dir=ckdir,
+                )
+            else:
+                out = jax.jit(
+                    lambda s: run_latent_hmc(loss_fn, hmc_cfg, s))(states)
             z_samples = np.asarray(out.samples).reshape(
                 -1, zd, zd, unet_cfg.in_channels
             )
@@ -150,12 +203,26 @@ def run_latent(opt):
 
         samples01 = np.asarray(im.inverse_data_transform(jnp.asarray(samples)))
         im.save_image(samples01[-1], os.path.join(opt.image_folder, f"{idx}.png"))
+        if samples01.shape[0] > 1:
+            im.save_std_dev_map(
+                samples01,
+                os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
+            )
         orig01 = np.repeat(np.asarray(x01)[None], samples01.shape[0], 0)
         vals = {
             "psnr": np.asarray(psnr(jnp.asarray(samples01), jnp.asarray(orig01))),
             "ssim": np.asarray(ssim(jnp.asarray(samples01), jnp.asarray(orig01))),
         }
+        if lpips_fn is not None:
+            vals["lpips"] = np.asarray(
+                lpips_fn(2 * jnp.asarray(samples01) - 1,
+                         2 * jnp.asarray(orig01) - 1))
         stats.update(vals)
+        rec = {"idx": idx, "file": os.path.basename(path), "algo": opt.algo,
+               "deg": opt.deg, "wall_s": round(dt, 2),
+               **{k: float(np.mean(v)) for k, v in vals.items()}}
+        with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(f"[{idx}] {os.path.basename(path)}: "
               + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
               + f"  ({dt:.1f}s)")

@@ -158,6 +158,43 @@ def run_latent_hmc(loss_fn: LossFn, cfg: LatentHMCConfig,
     return jax.vmap(lambda s: run_latent_chain(loss_fn, cfg, s))(states)
 
 
+def run_latent_hmc_observed(
+    loss_fn: LossFn,
+    cfg: LatentHMCConfig,
+    states: LatentChainState,
+    callback=None,
+    checkpoint_dir: str = "",
+    checkpoint_every: int = 10,
+) -> LatentChainState:
+    """Host-observed latent HMC: a Python loop over jitted lockstep attempt
+    rounds (one device call per attempt, ~L+1 energy evals each), invoking
+    `callback(states, round)` after each round — mirrors the reference's
+    per-attempt prints (main_sampling_latent.py:655-688) — and snapshotting
+    chain state every `checkpoint_every` rounds for resume. Required on
+    tunneled single-chip setups whose relay kills long device executions;
+    on normal deployments prefer the jitted `run_latent_hmc`."""
+    from ..utils.checkpointing import save_chain_state, load_chain_state
+
+    attempt = jax.jit(jax.vmap(lambda s: latent_hmc_attempt(loss_fn, cfg, s)))
+
+    start_round = 0
+    if checkpoint_dir:
+        restored = load_chain_state(checkpoint_dir, states, step=0)
+        if restored is not None:
+            states = jax.tree.map(jnp.asarray, restored)
+            start_round = int(jnp.max(states.attempt))
+
+    for rnd in range(start_round, cfg.total_attempts):
+        states = attempt(states)
+        if callback is not None:
+            callback(states, rnd)
+        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            save_chain_state(checkpoint_dir, states, step=0)
+    if checkpoint_dir:
+        save_chain_state(checkpoint_dir, states, step=0)
+    return states
+
+
 def init_latent_chains(key, cfg: LatentHMCConfig, n_chains: int, z_shape):
     keys = jax.random.split(key, n_chains)
     return jax.vmap(lambda k: init_latent_chain(k, cfg, z_shape))(keys)

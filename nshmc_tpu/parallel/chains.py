@@ -58,6 +58,30 @@ def make_sharded_hmc(
     return jax.jit(sharded)
 
 
+def make_sharded_latent_hmc(cfg, mesh: Mesh, loss_fn_builder: Callable):
+    """Latent-HMC analogue of `make_sharded_hmc`: chain states shard on
+    their leading axis over the ('chain',) mesh; the LDM params / operator /
+    y0 closed over by loss_fn_builder are replicated.
+
+    loss_fn_builder(unet_params, ae_params, operator, y0) -> per-chain
+    latent loss_fn (see hmc.latent.make_latent_loss_fn).
+    """
+    from ..hmc.latent import run_latent_hmc
+
+    def body(unet_params, ae_params, operator, y0, states):
+        loss_fn = loss_fn_builder(unet_params, ae_params, operator, y0)
+        return run_latent_hmc(loss_fn, cfg, states)
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("chain")),
+        out_specs=P("chain"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def acceptance_stats(states: ChainState):
     """Aggregate acceptance statistics across all chains (host-side)."""
     acc = np.asarray(states.accepted, np.float64)

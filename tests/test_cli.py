@@ -112,3 +112,36 @@ def test_cli_hmc_image_batched(tmp_path):
     assert "psnr" in summary and np.isfinite(summary["psnr"])
     assert os.path.exists(tmp_path / "0.png")
     assert os.path.exists(tmp_path / "1.png")
+
+
+def test_cli_latent_hmc_observed_artifacts(tmp_path):
+    """Latent CLI with the observed driver + artifact parity: y0/orig/std-map
+    PNGs and metrics.jsonl (reference saves: main_sampling_latent.py:438-446,
+    481-493)."""
+    from nshmc_tpu.cli import main
+
+    summary = main([
+        "--config", LATENT_CFG, "-i", str(tmp_path), "--subset_end", "1",
+        "--no-bf16", "--algo", "hmc_latent", "--deg", "sr2",
+        "--tau", "0.2", "--epsilon", "0.05",
+        "--latent_epochs", "3", "--latent_sampling", "2",
+        "--verbose", "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    for f in ("0.png", "orig_0.png", "y0_0.png", "metrics.jsonl"):
+        assert os.path.exists(tmp_path / f), f
+
+
+def test_cli_latent_hmc_mesh(tmp_path):
+    """Latent CLI sharding chains over the virtual 8-device mesh."""
+    from nshmc_tpu.cli import main
+
+    summary = main([
+        "--config", LATENT_CFG, "-i", str(tmp_path), "--subset_end", "1",
+        "--no-bf16", "--algo", "hmc_latent", "--deg", "sr2",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--latent_epochs", "2", "--latent_sampling", "1",
+        "--chains", "4", "--mesh", "4",
+    ])
+    assert "psnr" in summary and np.isfinite(summary["psnr"])
+    assert os.path.exists(tmp_path / "0.png")
