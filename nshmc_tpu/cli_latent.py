@@ -15,6 +15,21 @@ import time
 import numpy as np
 
 
+def extract_kept_samples(rings: np.ndarray, kept: np.ndarray) -> np.ndarray:
+    """Flatten the per-chain sample rings to the valid (most-recent) entries.
+
+    rings: (chains, keep_samples, ...) — newest at the end, zero-padded at
+    the front; kept: (chains,) accepted-sample counts. Returns a stacked
+    (sum(min(kept, keep)), ...) array. Empty if no chain kept anything.
+    """
+    keep = rings.shape[1]
+    parts = [rings[i, keep - min(int(k), keep):]
+             for i, k in enumerate(np.asarray(kept)) if int(k) > 0]
+    if not parts:
+        return np.zeros((0,) + rings.shape[2:], rings.dtype)
+    return np.concatenate(parts)
+
+
 def run_latent(opt):
     import jax
     import jax.numpy as jnp
@@ -163,9 +178,14 @@ def run_latent(opt):
             else:
                 out = jax.jit(
                     lambda s: run_latent_hmc(loss_fn, hmc_cfg, s))(states)
-            z_samples = np.asarray(out.samples).reshape(
-                -1, zd, zd, unet_cfg.in_channels
-            )
+            z_samples = extract_kept_samples(
+                np.asarray(out.samples), np.asarray(out.n_kept))
+            if z_samples.shape[0] == 0:
+                # no accepted post-anneal proposals: decode the final chain
+                # state instead of the (empty) sample ring — the reference
+                # would crash stacking an empty final_img_list (:760)
+                z_samples = np.asarray(jax.jit(decode_z)(out.z))
+            z_samples = z_samples.reshape(-1, zd, zd, unet_cfg.in_channels)
             decoded = ldm.decode_first_stage(jnp.asarray(z_samples))
             samples = np.asarray(decoded)
         elif opt.algo == "resample":

@@ -106,3 +106,22 @@ def test_sharded_latent_matches_vmapped():
                                   np.asarray(ref.samples))
     np.testing.assert_array_equal(np.asarray(out.accepted),
                                   np.asarray(ref.accepted))
+
+
+def test_extract_kept_samples():
+    from nshmc_tpu.cli_latent import extract_kept_samples
+
+    rings = np.zeros((2, 3, 2), np.float32)
+    rings[0, 2] = 1.0          # chain 0 kept 1 (newest at end)
+    rings[1, 1] = 2.0          # chain 1 kept 2
+    rings[1, 2] = 3.0
+    out = extract_kept_samples(rings, np.array([1, 2]))
+    np.testing.assert_array_equal(out[:, 0], [1.0, 2.0, 3.0])
+
+    # kept counts above ring capacity clamp to the ring
+    out = extract_kept_samples(rings, np.array([5, 0]))
+    assert out.shape[0] == 3
+
+    # nothing kept -> empty, caller falls back to decoding the chain state
+    out = extract_kept_samples(rings, np.array([0, 0]))
+    assert out.shape[0] == 0
