@@ -58,6 +58,10 @@ def get_parser():
                    help="latent HMC anneal attempts (ref: main_sampling_latent.py:628)")
     p.add_argument("--latent_sampling", type=int, default=10,
                    help="latent HMC post-anneal half-window (ref: :629)")
+    p.add_argument("--latent_full_grad", action="store_true",
+                   help="differentiate through the latent eps-net in "
+                        "hmc_latent (the reference stop-grads it, "
+                        "ddpm.py:892 — parity default off)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--noise", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("-i", "--image_folder", default="out")

@@ -92,7 +92,9 @@ def run_latent(opt):
         print(f"LDM checkpoint {ckpt!r} not found: random init")
 
     seq = DDIMSequence.create(cfg["model"]["timesteps"], opt.timesteps)
-    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq)
+    stop_grad = not getattr(opt, "latent_full_grad", False)
+    decode_z = make_decoder(ldm.model_fn(stop_gradient=stop_grad),
+                            ldm.schedule, seq)
 
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0
@@ -142,8 +144,11 @@ def run_latent(opt):
 
                 def builder(unet_params, ae_params, op_, y_):
                     ldm_r = ldm  # structural reuse; params passed explicitly
-                    model_fn = lambda z, t: jax.lax.stop_gradient(
-                        ldm_r.unet.apply(unet_params, z, t))
+
+                    def model_fn(z, t):
+                        out = ldm_r.unet.apply(unet_params, z, t)
+                        return jax.lax.stop_gradient(out) if stop_grad else out
+
                     dec_z = _mk(model_fn, ldm_r.schedule, seq)
                     dec_x = lambda z: ldm_r.first_stage.apply(
                         ae_params, z / ldm_r.scale_factor,
