@@ -33,6 +33,9 @@ def main():
         return latent_main(batch, iters, tiny)
 
     import jax
+    from nshmc_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
     from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
@@ -133,7 +136,10 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
     (ref budget: main_sampling_latent.py:628-664)."""
     import jax
     import jax.numpy as jnp
+    from nshmc_tpu.utils.profiling import enable_persistent_cache
     from nshmc_tpu.models.ldm.ldm import LatentDiffusion, latent_unet_config
+
+    enable_persistent_cache()
     from nshmc_tpu.models.ldm.autoencoder import AutoencoderConfig
     from nshmc_tpu.schedules import DDIMSequence
     from nshmc_tpu.sampling.ddim import make_decoder

@@ -397,6 +397,9 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
 
 def main(argv=None):
     opt = get_parser().parse_args(argv)
+    from .utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat runs skip the multi-minute compile
     if opt.algo in ("hmc_latent", "resample", "resample_original"):
         from .cli_latent import run_latent
 

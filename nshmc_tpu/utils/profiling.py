@@ -15,6 +15,29 @@ from typing import Optional
 import jax
 
 
+def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
+    """Turn on JAX's on-disk XLA compilation cache so repeat runs of the
+    same program (bench, CLI restarts, orbax-resumed samplers) skip the
+    multi-minute TPU compile. New capability over the reference (which has
+    no compile step at all). Safe no-op if the backend rejects it.
+
+    Override the location with $JAX_COMPILATION_CACHE_DIR; returns the
+    directory used, or None if the cache could not be enabled."""
+    import os
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/nshmc_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took >5s to compile; tiny programs stay out
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return path
+    except Exception:
+        return None
+
+
 @contextlib.contextmanager
 def trace(dirname: str = "/tmp/nshmc_trace"):
     """Capture a jax.profiler trace viewable in TensorBoard/XProf."""

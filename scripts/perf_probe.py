@@ -26,12 +26,21 @@ def main():
         remat = "attn"
     fwd_only = "fwd" in parts
     xla_attn = "xlaattn" in parts
+    # "chainN": fuse N energy+grad evals into ONE device call
+    # (lax.fori_loop) to separate relay/dispatch overhead from device time
+    chain_n = 0
+    for p in parts:
+        if p.startswith("chain"):
+            chain_n = int(p[5:])
     f32 = "f32" in parts
     p16 = "p16" in parts
     gn16 = "gn16" in parts
 
     import jax
     import jax.numpy as jnp
+
+    from nshmc_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
 
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
     from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
@@ -76,6 +85,18 @@ def main():
 
     if fwd_only:
         fn = jax.jit(loss)
+    elif chain_n:
+        vg = jax.value_and_grad(loss)
+
+        def body(i, carry):
+            xc, acc = carry
+            v, g = vg(xc)
+            return (xc - 1e-6 * g, acc + v)
+
+        def multi(xc):
+            return jax.lax.fori_loop(0, chain_n, body, (xc, 0.0))
+
+        fn = jax.jit(multi)
     else:
         fn = jax.jit(jax.value_and_grad(loss))
 
@@ -99,9 +120,10 @@ def main():
         "xla_flops": flops,
         "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
-        "param_bf16": p16, "gn16": gn16,
+        "param_bf16": p16, "gn16": gn16, "fused_evals": chain_n or 1,
         "sec_per_call": round(dt, 4),
-        "chain_evals_per_s": round(batch / dt, 4),
+        "sec_per_eval": round(dt / (chain_n or 1), 4),
+        "chain_evals_per_s": round(batch * (chain_n or 1) / dt, 4),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(rec))

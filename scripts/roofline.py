@@ -31,6 +31,9 @@ def main():
         # the image pins JAX_PLATFORMS=axon via sitecustomize; override
         # in-process (setting JAX_PLATFORMS=cpu in the shell hangs startup)
         jax.config.update("jax_platforms", "cpu")
+    from nshmc_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
     from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence

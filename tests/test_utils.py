@@ -82,6 +82,18 @@ def test_profiling_helpers():
         _ = x + 1
 
 
+def test_enable_persistent_cache(tmp_path):
+    from nshmc_tpu.utils.profiling import enable_persistent_cache
+
+    path = enable_persistent_cache(str(tmp_path / "xla_cache"))
+    assert path == str(tmp_path / "xla_cache")
+    import os
+
+    assert os.path.isdir(path)
+    # jitting still works with the cache configured
+    assert float(jax.jit(lambda a: a.sum())(jnp.ones(4))) == 4.0
+
+
 def test_lpips_architecture():
     from nshmc_tpu.utils.lpips import LPIPS
 
