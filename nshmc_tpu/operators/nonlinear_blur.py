@@ -8,16 +8,19 @@ repo; the reference path requires an external clone + checkpoint download).
 The operator applies a fixed random kernel code `randn(1, 512, 2, 2) * 1.2`
 (Hfuncs.py:373) and maps [-1,1] -> [0,1] -> blur -> [-1,1] clipped.
 
-This environment has no network access, so the default blur network is a
-faithfully-shaped Flax surrogate (`KernelAdapter`: conv encoder, kernel-code
-FiLM injection at the 64x64 bottleneck, conv decoder with residual blur
-prediction), randomly initialized — the same observable behavior as the
-reference when its checkpoint is missing. `blur_apply`/`blur_params` can be
-swapped for a ported bkse net when weights are available.
+Two backing networks:
+  - `create_bkse(state_dict)` / `create(..., wizard_params=...)`: the REAL
+    bkse KernelWizard architecture (models/kernel_wizard.py), either ported
+    from a torch checkpoint or randomly initialized. This is the
+    reference-parity path — pretrained GOPRO weights port straight in.
+  - `create()` (no weights): a small Flax surrogate (`KernelAdapter`),
+    randomly initialized — same observable behavior as the reference when
+    its checkpoint is missing, but ~40x cheaper, kept as the default for
+    tests/benches that only need a fixed nonlinear H.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +28,11 @@ import flax.linen as nn
 from flax import struct
 
 from .base import Operator
+from ..models.kernel_wizard import (
+    KernelWizard,
+    KernelWizardConfig,
+    port_kernel_wizard,
+)
 
 
 class KernelAdapter(nn.Module):
@@ -61,6 +69,10 @@ class NonlinearBlur(Operator):
     _channels: int = struct.field(pytree_node=False, default=3)
     _img_dim: int = struct.field(pytree_node=False, default=256)
     _nf: int = struct.field(pytree_node=False, default=32)
+    # "surrogate" (small random net) or "bkse" (real KernelWizard)
+    _net: str = struct.field(pytree_node=False, default="surrogate")
+    _wizard_cfg: KernelWizardConfig = struct.field(
+        pytree_node=False, default=KernelWizardConfig())
 
     @property
     def channels(self):
@@ -72,24 +84,59 @@ class NonlinearBlur(Operator):
 
     @classmethod
     def create(cls, channels: int = 3, img_dim: int = 256, seed: int = 0,
-               nf: int = 32) -> "NonlinearBlur":
+               nf: int = 32, wizard_params: Optional[Any] = None,
+               wizard_cfg: KernelWizardConfig = KernelWizardConfig(),
+               ) -> "NonlinearBlur":
+        """Default: random surrogate net. Pass `wizard_params` (a ported or
+        initialized KernelWizard param tree) to use the real bkse
+        architecture instead."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        kernel = jax.random.normal(k1, (1, 2, 2, 512)) * 1.2  # Hfuncs.py:373
+        kernel = jax.random.normal(
+            k1, (1, 2, 2, wizard_cfg.kernel_dim)) * 1.2  # Hfuncs.py:373
+        if wizard_params is not None:
+            return cls(kernel_code=kernel, blur_params=wizard_params,
+                       _channels=channels, _img_dim=img_dim, _net="bkse",
+                       _wizard_cfg=wizard_cfg)
         net = KernelAdapter(nf=nf)
         params = net.init(k2, jnp.zeros((1, img_dim, img_dim, channels)),
                           kernel)
         return cls(kernel_code=kernel, blur_params=params,
                    _channels=channels, _img_dim=img_dim, _nf=nf)
 
+    @classmethod
+    def create_bkse(cls, state_dict=None, channels: int = 3,
+                    img_dim: int = 256, seed: int = 0,
+                    wizard_cfg: KernelWizardConfig = KernelWizardConfig(),
+                    ) -> "NonlinearBlur":
+        """Real bkse KernelWizard path (ref: Hfuncs.py:369-391). With a
+        torch `state_dict`, ports the pretrained GOPRO checkpoint; without
+        one, random-initializes the same architecture (the reference's own
+        behavior degrades identically when its checkpoint is absent)."""
+        if state_dict is not None:
+            params = port_kernel_wizard(state_dict, wizard_cfg)
+        else:
+            model = KernelWizard(wizard_cfg)
+            params = model.init(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, img_dim, img_dim, channels)),
+                jnp.zeros((1, 2, 2, wizard_cfg.kernel_dim)),
+                method=KernelWizard.adapt_kernel)
+        return cls.create(channels, img_dim, seed, wizard_params=params,
+                          wizard_cfg=wizard_cfg)
+
     def is_linear(self):
         return False
 
     def _blur(self, img01):
-        net = KernelAdapter(nf=self._nf)
         kernel = jnp.broadcast_to(
             self.kernel_code,
             (img01.shape[0],) + self.kernel_code.shape[1:],
         )
+        if self._net == "bkse":
+            net = KernelWizard(self._wizard_cfg)
+            return net.apply(self.blur_params, img01, kernel,
+                             method=KernelWizard.adapt_kernel)
+        net = KernelAdapter(nf=self._nf)
         return net.apply(self.blur_params, img01, kernel)
 
     def H(self, vec):

@@ -25,8 +25,12 @@ def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
     directory used, or None if the cache could not be enabled."""
     import os
 
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                  "/tmp/nshmc_jax_cache")
+    # Default to a per-user cache dir: XLA deserializes compiled
+    # executables from this cache, so a world-writable fixed /tmp path
+    # would let another local user plant a poisoned entry.
+    default = os.path.join(os.path.expanduser("~"), ".cache",
+                           "nshmc_jax_cache")
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

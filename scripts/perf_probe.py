@@ -115,9 +115,15 @@ def main():
 
     from nshmc_tpu.utils.profiling import compiled_flops
     flops = compiled_flops(fn, x)
+    # HloCostAnalysis counts a while-loop body ONCE regardless of trip
+    # count, so for chainN runs the fori_loop program's FLOPs must be
+    # scaled by chain_n to stay comparable with unfused runs.
+    if flops is not None and chain_n:
+        flops *= chain_n
     rec = {
         "tag": tag, "batch": batch, "remat": remat, "fwd_only": fwd_only,
         "xla_flops": flops,
+        "xla_flops_scaled_by_chain_n": bool(flops and chain_n),
         "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
         "param_bf16": p16, "gn16": gn16, "fused_evals": chain_n or 1,

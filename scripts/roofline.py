@@ -123,16 +123,28 @@ def main():
     # flop/byte.
     balance = peak_tflops * 1e12 / (peak_gbs * 1e9)
     for r in (fwd, vg):
-        bound = ("HBM-bandwidth" if r["arith_intensity_flop_per_byte"] < balance
-                 else "MXU-compute")
+        ai = r["arith_intensity_flop_per_byte"]
+        if ai is None or (isinstance(ai, float) and ai != ai):
+            # cost analysis reported no/zero bytes (some backends omit
+            # 'bytes accessed'): the roofline classification is undefined.
+            print(json.dumps({
+                "phase": r["phase"],
+                "machine_balance_flop_per_byte": round(balance, 1),
+                "bound_by": "unknown (no bytes-accessed in cost analysis)",
+            }))
+            continue
+        # Headroom is measured against the BINDING roofline only: for a
+        # compute-bound phase (AI > balance) the bandwidth ratio is always
+        # the larger of the two (ratio_b = ratio_f * AI/balance), so taking
+        # max() would report the non-binding resource and overstate speedup.
+        bound = "HBM-bandwidth" if ai < balance else "MXU-compute"
+        headroom = (peak_tflops / max(r["achieved_tflops_s"], 1e-9)
+                    if bound == "MXU-compute"
+                    else peak_gbs / max(r["achieved_gb_s"], 1e-9))
         print(json.dumps({
             "phase": r["phase"], "machine_balance_flop_per_byte": round(balance, 1),
             "bound_by": bound,
-            "headroom_x": round(
-                max(peak_gbs / max(r["achieved_gb_s"], 1e-9),
-                    peak_tflops / max(r["achieved_tflops_s"], 1e-9))
-                if bound == "MXU-compute"
-                else peak_gbs / max(r["achieved_gb_s"], 1e-9), 2),
+            "headroom_x": round(headroom, 2),
         }))
 
 

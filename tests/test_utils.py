@@ -85,13 +85,25 @@ def test_profiling_helpers():
 def test_enable_persistent_cache(tmp_path):
     from nshmc_tpu.utils.profiling import enable_persistent_cache
 
-    path = enable_persistent_cache(str(tmp_path / "xla_cache"))
-    assert path == str(tmp_path / "xla_cache")
-    import os
+    # tmp_path is deleted after the test: restore the process-global jax
+    # config afterwards so later tests don't run with a dangling cache dir.
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min_time = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_min_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        path = enable_persistent_cache(str(tmp_path / "xla_cache"))
+        assert path == str(tmp_path / "xla_cache")
+        import os
 
-    assert os.path.isdir(path)
-    # jitting still works with the cache configured
-    assert float(jax.jit(lambda a: a.sum())(jnp.ones(4))) == 4.0
+        assert os.path.isdir(path)
+        # jitting still works with the cache configured
+        assert float(jax.jit(lambda a: a.sum())(jnp.ones(4))) == 4.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min_time)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_min_size)
 
 
 def test_lpips_architecture():
