@@ -98,6 +98,16 @@ def load_config(path):
         return yaml.safe_load(f)
 
 
+def _allgather_chain_axis(mh, arr):
+    """Full global view of a chain-sharded array on every process: pull the
+    local shards, allgather across processes, restack on the chain axis."""
+    from jax.experimental import multihost_utils
+
+    local = mh.fetch_local_shards(arr)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    return gathered.reshape((-1,) + local.shape[1:])
+
+
 def _build_pixel_model(cfg, opt):
     import jax
     import jax.numpy as jnp
@@ -155,9 +165,22 @@ def run_pixel(opt):
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0  # [-1,1] range scaling (main_sampling.py:348)
 
+    from .parallel import multihost as mh
+
     files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
+    indexed_files = list(enumerate(files))
+    multiproc = mh.process_count() > 1
+    # Multi-host work decomposition: with a sharded chain mesh every process
+    # cooperates on the SAME image (chains split over the global mesh);
+    # otherwise processes split the dataset (per-host data sharding).
+    if multiproc and opt.mesh <= 1:
+        indexed_files = indexed_files[mh.process_index()::mh.process_count()]
+    # In cooperative (cross-host mesh) mode every process computes identical
+    # results for the same image: only the primary records/saves.
+    own_artifacts = (not multiproc) or opt.mesh <= 1 or mh.is_primary()
     os.makedirs(opt.image_folder, exist_ok=True)
     stats = RunningStats()
+    records = []
     lpips_fn = None
     try:
         from .utils.lpips import try_load_lpips
@@ -172,7 +195,7 @@ def run_pixel(opt):
         return _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq,
                                       operator, sigma_0, files, stats)
 
-    for idx, path in enumerate(files):
+    for idx, path in indexed_files:
         x01 = im.load_image(path, d)
         x_orig = im.data_transform(jnp.asarray(x01))[None]
         key = jax.random.PRNGKey(opt.seed + idx)
@@ -180,9 +203,10 @@ def run_pixel(opt):
         y0 = operator.H_img(x_orig)
         y0 = y0 + sigma_0 * jax.random.normal(k_noise, y0.shape)
         y_pinv = operator.H_pinv_img(y0)
-        im.save_image(im.inverse_data_transform(y_pinv[0]),
-                      os.path.join(opt.image_folder, f"y0_{idx}.png"))
-        im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
+        if own_artifacts:
+            im.save_image(im.inverse_data_transform(y_pinv[0]),
+                          os.path.join(opt.image_folder, f"y0_{idx}.png"))
+            im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
 
         t0 = time.time()
         if opt.algo == "hmc_cond":
@@ -205,22 +229,36 @@ def run_pixel(opt):
                                 epochs=opt.hmc_epochs,
                                 sampling=opt.hmc_sampling)
             loss_fn = make_pixel_loss_fn(decode, operator, y0[0])
-            states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
             if opt.mesh > 1:
                 from .parallel.chains import chain_mesh, make_sharded_hmc
 
-                runner = make_sharded_hmc(
-                    hmc_cfg, chain_mesh(opt.mesh),
-                    lambda p, op_, y_: make_pixel_loss_fn(
-                        make_decoder(lambda x, t: model.apply(p, x, t),
-                                     sched, seq), op_, y_),
-                )
+                builder = lambda p, op_, y_: make_pixel_loss_fn(
+                    make_decoder(lambda x, t: model.apply(p, x, t),
+                                 sched, seq), op_, y_)
+                if multiproc:
+                    # --chains is the GLOBAL count; each process seeds its
+                    # own slice and the states are lifted into one global
+                    # array over the cross-host mesh.
+                    mesh = mh.global_chain_mesh(opt.mesh)
+                    local_n = opt.chains // mh.process_count()
+                    k_local = jax.random.fold_in(k_run, mh.process_index())
+                    local_states = init_chains(
+                        k_local, hmc_cfg, local_n, (d, d, c))
+                    states = mh.make_global_chain_states(mesh, local_states)
+                else:
+                    mesh = chain_mesh(opt.mesh)
+                    states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
+                runner = make_sharded_hmc(hmc_cfg, mesh, builder)
                 out = runner(params, operator, y0[0], states)
+                if multiproc:
+                    out = out.replace(samples=_allgather_chain_axis(
+                        mh, out.samples))
             elif (opt.checkpoint_dir or opt.verbose
                   or opt.driver == "observed"
                   or (opt.driver == "auto"
                       and os.environ.get("PALLAS_AXON_POOL_IPS")
                       and jax.default_backend() == "tpu")):
+                states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
                 from .hmc.engine import run_hmc_observed
                 from .utils.metrics import psnr as psnr_fn
 
@@ -242,6 +280,7 @@ def run_pixel(opt):
                     checkpoint_dir=ckdir,
                 )
             else:
+                states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
                 out = jax.jit(lambda s: run_hmc(loss_fn, hmc_cfg, s))(states)
             samples = np.asarray(out.samples).reshape(
                 -1, *out.samples.shape[2:]
@@ -279,13 +318,14 @@ def run_pixel(opt):
         dt = time.time() - t0
 
         samples01 = np.asarray(im.inverse_data_transform(jnp.asarray(samples)))
-        im.save_image(samples01[-1],
-                      os.path.join(opt.image_folder, f"{idx}.png"))
-        if samples01.shape[0] > 1:
-            im.save_std_dev_map(
-                samples01,
-                os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
-            )
+        if own_artifacts:
+            im.save_image(samples01[-1],
+                          os.path.join(opt.image_folder, f"{idx}.png"))
+            if samples01.shape[0] > 1:
+                im.save_std_dev_map(
+                    samples01,
+                    os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
+                )
 
         orig01 = np.asarray(x01)[None]
         vals = {
@@ -306,11 +346,30 @@ def run_pixel(opt):
         rec = {"idx": idx, "file": os.path.basename(path), "algo": opt.algo,
                "deg": opt.deg, "wall_s": round(dt, 2),
                **{k: float(np.mean(v)) for k, v in vals.items()}}
-        with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if own_artifacts:
+            records.append(rec)
+        if not multiproc:
+            with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
         print(f"[{idx}] {os.path.basename(path)}: "
               + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
               + f"  ({dt:.1f}s)")
+
+    if multiproc:
+        # process-0 aggregation: gather every host's metric rows, write the
+        # combined metrics.jsonl and the cross-host summary on the primary.
+        all_rows = mh.gather_records(records)
+        if mh.is_primary():
+            with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
+                for rec in sorted(all_rows, key=lambda r: r["idx"]):
+                    f.write(json.dumps(rec) + "\n")
+        keys = [k for k in ("psnr", "ssim", "lpips") if any(k in r for r in all_rows)]
+        summary = {k: float(np.mean([r[k] for r in all_rows if k in r]))
+                   for k in keys}
+        summary["images"] = len(all_rows)
+        if mh.is_primary():
+            print(json.dumps({"summary": summary}))
+        return summary
 
     summary = stats.summary()
     print(json.dumps({"summary": summary}))
@@ -398,7 +457,9 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
 def main(argv=None):
     opt = get_parser().parse_args(argv)
     from .utils.profiling import enable_persistent_cache
+    from .parallel import multihost
 
+    multihost.maybe_initialize()  # env-gated (NSHMC_DIST=1) process group
     enable_persistent_cache()  # repeat runs skip the multi-minute compile
     if opt.algo in ("hmc_latent", "resample", "resample_original"):
         from .cli_latent import run_latent
