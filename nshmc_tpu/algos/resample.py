@@ -54,7 +54,8 @@ class ReSample(Algo):
         et = predict_eps(model_fn, xt, t)
         x0 = predict_x0(xt, et, at)
 
-        opt = optax.adamw(self.inner_lr)
+        # torch.optim.AdamW default weight_decay=0.01 (ref: resample.py:39)
+        opt = optax.adamw(self.inner_lr, weight_decay=0.01)
 
         def inner_loss(x0h):
             pred = self.operator.H_img(self.decode_fn(x0h))
