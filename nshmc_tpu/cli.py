@@ -80,6 +80,14 @@ def get_parser():
                    help="chain-state snapshot dir (resume support)")
     p.add_argument("--verbose", action="store_true",
                    help="per-epoch progress prints (host-synced observed mode)")
+    p.add_argument("--save_epochs", action="store_true",
+                   help="save hmc_{epoch}.png per accepted proposal + a "
+                        "psnr/sigma_y trail json (main_sampling.py:733-742)")
+    p.add_argument("--adapt", default="none", choices=["none", "da"],
+                   help="'da' = dual-averaged shared step size during "
+                        "annealing (replaces the x0.95 backoff)")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="report split-R-hat/ESS over chains x kept samples")
     p.add_argument("--driver", default="auto",
                    choices=["auto", "jit", "observed"],
                    help="HMC execution driver: 'jit' = whole run in one "
@@ -253,7 +261,7 @@ def run_pixel(opt):
                 if multiproc:
                     out = out.replace(samples=_allgather_chain_axis(
                         mh, out.samples))
-            elif (opt.checkpoint_dir or opt.verbose
+            elif (opt.checkpoint_dir or opt.verbose or opt.save_epochs
                   or opt.driver == "observed"
                   or (opt.driver == "auto"
                       and os.environ.get("PALLAS_AXON_POOL_IPS")
@@ -263,25 +271,70 @@ def run_pixel(opt):
                 from .utils.metrics import psnr as psnr_fn
 
                 orig01 = jnp.asarray(x01)[None]
+                # per-accept artifact trail matching the reference's
+                # hmc_{epoch}.png saves + psnr/sigma_y accumulation
+                # (main_sampling.py:733-742)
+                trail = {"epoch": [], "psnr": [], "sigma_y": [], "tau": []}
+                last_seen = [-1]
 
                 def report(states, rnd):
                     e = int(states.epoch[0])
                     dec01 = im.inverse_data_transform(states.last_decoded[:1])
                     p = float(psnr_fn(dec01, orig01)[0])
-                    print(f"  attempt {rnd}: epoch {e} "
-                          f"PSNR {p:.2f} sigma_y {float(states.sigma_y[0]):.3f} "
-                          f"tau {float(states.tau[0]):.3f}")
+                    if opt.verbose:
+                        print(f"  attempt {rnd}: epoch {e} "
+                              f"PSNR {p:.2f} "
+                              f"sigma_y {float(states.sigma_y[0]):.3f} "
+                              f"tau {float(states.tau[0]):.3f}")
+                    if e > last_seen[0] and e > 0:  # new accepted proposal
+                        last_seen[0] = e
+                        trail["epoch"].append(e)
+                        trail["psnr"].append(p)
+                        trail["sigma_y"].append(float(states.sigma_y[0]))
+                        trail["tau"].append(float(states.tau[0]))
+                        if own_artifacts and opt.save_epochs:
+                            im.save_image(
+                                np.asarray(dec01[0]),
+                                os.path.join(opt.image_folder,
+                                             f"hmc_{e - 1}.png"))
 
                 ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")
                          if opt.checkpoint_dir else "")
                 out = run_hmc_observed(
                     loss_fn, hmc_cfg, states,
-                    callback=report if opt.verbose else None,
+                    callback=report
+                    if (opt.verbose or opt.save_epochs) else None,
                     checkpoint_dir=ckdir,
                 )
+                if trail["epoch"] and own_artifacts:
+                    with open(os.path.join(opt.image_folder,
+                                           f"hmc_trail_{idx}.json"),
+                              "w") as f:
+                        json.dump(trail, f)
+            elif opt.adapt == "da":
+                from .hmc.adaptation import run_hmc_dual_averaging
+
+                states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
+                out, da = jax.jit(
+                    lambda s: run_hmc_dual_averaging(loss_fn, hmc_cfg, s)
+                )(states)
+                print(f"  dual-averaged eps: "
+                      f"{float(jnp.exp(da.log_eps_avg)):.4f} "
+                      f"({int(da.t)} rounds)")
             else:
                 states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
                 out = jax.jit(lambda s: run_hmc(loss_fn, hmc_cfg, s))(states)
+            if opt.diagnostics and opt.chains > 1 and out.samples.shape[1] >= 4:
+                from .utils.diagnostics import summarize_chains
+
+                diag = summarize_chains(np.asarray(out.samples))
+                print(f"  diagnostics: rhat_max={diag['rhat_max']:.3f} "
+                      f"ess_min={diag['ess_min']:.1f}")
+                if own_artifacts:
+                    with open(os.path.join(opt.image_folder,
+                                           f"diagnostics_{idx}.json"),
+                              "w") as f:
+                        json.dump(diag, f)
             samples = np.asarray(out.samples).reshape(
                 -1, *out.samples.shape[2:]
             )

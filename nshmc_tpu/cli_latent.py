@@ -167,10 +167,18 @@ def run_latent(opt):
                 from .hmc.latent import run_latent_hmc_observed
 
                 def report(states, rnd):
+                    # Hamiltonian decomposition + acceptance ratio, mirroring
+                    # the reference prints (main_sampling_latent.py:655-688)
+                    prior = 0.5 * float(jnp.sum(states.z[0] ** 2))
+                    sig = float(states.sigma_y[0])
+                    lik = float(states.last_loss[0]) / (2.0 * sig**2)
+                    ratio = float(
+                        jnp.exp(jnp.minimum(states.last_log_ratio[0], 0.0)))
                     print(f"  attempt {rnd}: accepted "
                           f"{int(states.accepted[0])} "
-                          f"loss {float(states.last_loss[0]):.1f} "
-                          f"sigma_y {float(states.sigma_y[0]):.3f} "
+                          f"H: prior {prior:.1f} + lik {lik:.1f} "
+                          f"accept_ratio {ratio:.3f} "
+                          f"sigma_y {sig:.3f} "
                           f"tau {float(states.tau[0]):.3f}")
 
                 ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")

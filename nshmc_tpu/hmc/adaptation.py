@@ -83,8 +83,8 @@ def run_hmc_dual_averaging(
 
     da0 = DualAveragingState.create(cfg.epsilon)
 
-    def round_fn(i, carry):
-        states, da = carry
+    def round_fn(carry):
+        states, da, i = carry
         eps_shared = jnp.exp(da.log_eps)
         # apply the shared step size to chains still annealing
         in_anneal = states.epoch < cfg.epochs
@@ -96,10 +96,17 @@ def run_hmc_dual_averaging(
         accepted = (new_states.epoch > prev_epoch).astype(jnp.float32)
         # only count chains that are still running
         running = (prev_epoch < cfg.total_epochs).astype(jnp.float32)
-        acc = jnp.sum(accepted * running) / jnp.maximum(jnp.sum(running), 1.0)
+        n_running = jnp.sum(running)
+        acc = jnp.sum(accepted * running) / jnp.maximum(n_running, 1.0)
         if axis_name is not None:
             acc = jax.lax.pmean(acc, axis_name)
-        da = dual_averaging_update(da, acc, target=target_accept)
+            n_running = jax.lax.psum(n_running, axis_name)
+        # no DA update on rounds where every chain already finished —
+        # their 0-acceptance reading would collapse the step size
+        new_da = dual_averaging_update(da, acc, target=target_accept)
+        da = jax.tree.map(
+            lambda n, o: jnp.where(n_running > 0, n, o), new_da, da
+        )
         # freeze finished chains
         done = prev_epoch >= cfg.total_epochs
         states = jax.tree.map(
@@ -108,9 +115,22 @@ def run_hmc_dual_averaging(
             ),
             new_states, states,
         )
-        return states, da
+        return states, da, i + 1
 
-    return jax.lax.fori_loop(0, cfg.max_attempts, round_fn, (states, da0))
+    def cond(carry):
+        states, _, i = carry
+        running = jnp.any(states.epoch < cfg.total_epochs)
+        if axis_name is not None:
+            # all devices must agree on the trip count (the body pmean is
+            # a collective): exit only when EVERY device's chains finished
+            running = jax.lax.psum(
+                running.astype(jnp.int32), axis_name) > 0
+        return (i < cfg.max_attempts) & running
+
+    states, da, _ = jax.lax.while_loop(
+        cond, round_fn, (states, da0, jnp.asarray(0, jnp.int32))
+    )
+    return states, da
 
 
 # --- mass-conditioned HMC ---------------------------------------------------

@@ -67,6 +67,7 @@ class LatentChainState(struct.PyTreeNode):
     n_kept: jnp.ndarray
     last_z0_accept: jnp.ndarray  # DDIM-decoded z0 of the last accept
     last_loss: jnp.ndarray
+    last_log_ratio: jnp.ndarray  # MH log-ratio of the last proposal
 
 
 def init_latent_chain(key, cfg: LatentHMCConfig, z_shape):
@@ -85,13 +86,14 @@ def init_latent_chain(key, cfg: LatentHMCConfig, z_shape):
         n_kept=jnp.asarray(0, jnp.int32),
         last_z0_accept=jnp.zeros(z_shape, jnp.float32),
         last_loss=jnp.asarray(jnp.inf, jnp.float32),
+        last_log_ratio=jnp.asarray(0.0, jnp.float32),
     )
 
 
 def latent_hmc_attempt(loss_fn: LossFn, cfg: LatentHMCConfig,
                        state: LatentChainState) -> LatentChainState:
     key, k_prop = jax.random.split(state.key)
-    accept, zp, dec_z, loss, _ = leapfrog_propose(
+    accept, zp, dec_z, loss, log_ratio = leapfrog_propose(
         loss_fn, state.z, state.sigma_y, state.epsilon, cfg.n_leapfrog,
         cfg.m, k_prop,
     )
@@ -141,6 +143,7 @@ def latent_hmc_attempt(loss_fn: LossFn, cfg: LatentHMCConfig,
         n_kept=n_kept,
         last_z0_accept=jnp.where(accept, dec_z, state.last_z0_accept),
         last_loss=jnp.where(accept, loss, state.last_loss),
+        last_log_ratio=log_ratio,
     )
 
 

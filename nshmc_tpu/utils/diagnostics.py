@@ -1,0 +1,137 @@
+"""MCMC convergence diagnostics: effective sample size and split-R-hat.
+
+New capability over the reference (SURVEY.md section 4 item 3: the
+reference verifies its sampler only by eyeballing runtime PSNR,
+main_sampling.py:733-742; it has no ESS/R-hat machinery). Implemented to
+the standard Vehtari et al. 2021 recipe ("Rank-normalization, folding, and
+localization"): split each chain in half, pool split chains for between/
+within variance, Geyer initial-monotone-sequence truncation for the
+autocorrelation sum.
+
+All functions take a draws array shaped (n_chains, n_draws, ...) and
+reduce over trailing dims independently (per-parameter diagnostics), in
+plain numpy — these run host-side on kept samples, not in the jitted
+sampler loop.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _split_chains(draws: np.ndarray) -> np.ndarray:
+    """(m, n, ...) -> (2m, n//2, ...): split each chain in half."""
+    m, n = draws.shape[:2]
+    half = n // 2
+    a = draws[:, :half]
+    b = draws[:, half: 2 * half]
+    return np.concatenate([a, b], axis=0)
+
+
+def split_rhat(draws: np.ndarray) -> np.ndarray:
+    """Split-R-hat per parameter. draws: (n_chains, n_draws, *param_shape);
+    returns (*param_shape,). Needs n_draws >= 4. R-hat ~ 1.0 at
+    convergence; > 1.01 is suspect (Vehtari et al. 2021)."""
+    draws = np.asarray(draws, np.float64)
+    if draws.ndim == 2:
+        draws = draws[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    s = _split_chains(draws)
+    m, n = s.shape[:2]
+    chain_mean = s.mean(axis=1)                      # (m, ...)
+    chain_var = s.var(axis=1, ddof=1)                # (m, ...)
+    between = n * chain_mean.var(axis=0, ddof=1)     # (...)
+    within = chain_var.mean(axis=0)                  # (...)
+    var_plus = (n - 1) / n * within + between / n
+    rhat = np.sqrt(var_plus / np.maximum(within, 1e-300))
+    return rhat[..., 0] if squeeze else rhat
+
+
+def _autocov(x: np.ndarray) -> np.ndarray:
+    """Autocovariance per lag via FFT. x: (n,); returns (n,)."""
+    n = len(x)
+    x = x - x.mean()
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, nfft)
+    acov = np.fft.irfft(f * np.conj(f), nfft)[:n].real
+    return acov / n
+
+
+def ess(draws: np.ndarray) -> np.ndarray:
+    """Bulk effective sample size per parameter with Geyer's initial
+    monotone sequence estimator over split chains. draws: (n_chains,
+    n_draws, *param_shape); returns (*param_shape,)."""
+    draws = np.asarray(draws, np.float64)
+    if draws.ndim == 2:
+        draws = draws[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    shape = draws.shape[2:]
+    flat = draws.reshape(draws.shape[0], draws.shape[1], -1)
+    out = np.empty(flat.shape[-1])
+    for p in range(flat.shape[-1]):
+        out[p] = _ess_1d(flat[:, :, p])
+    out = out.reshape(shape)
+    return out[..., 0] if squeeze else out
+
+
+def _ess_1d(draws: np.ndarray) -> float:
+    s = _split_chains(draws[..., None])[..., 0]
+    m, n = s.shape
+    if n < 4:
+        return float("nan")
+    chain_var = s.var(axis=1, ddof=1)
+    within = chain_var.mean()
+    var_plus = (n - 1) / n * within + n * s.mean(axis=1).var(ddof=1) / n
+    if var_plus <= 0 or not np.isfinite(var_plus):
+        return float("nan")
+    # mean autocovariance across chains, lag t
+    acov = np.stack([_autocov(s[i]) for i in range(m)]).mean(axis=0)
+    rho = 1.0 - (within - acov) / var_plus     # rho[0] == ~1
+    # Geyer: pair lags (2t, 2t+1) starting at (rho_0, rho_1); sum pairs
+    # while positive, enforcing monotone decrease; tau = -1 + 2 sum P_t
+    tau = -1.0
+    prev_pair = np.inf
+    t = 0
+    while t + 1 < n:
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        pair = min(pair, prev_pair)
+        prev_pair = pair
+        tau += 2.0 * pair
+        t += 2
+    return float(m * n / max(tau, 1e-12))
+
+
+def summarize_chains(draws: np.ndarray, max_params: int = 64) -> dict:
+    """Host-side diagnostics report for kept HMC samples.
+
+    draws: (n_chains, n_draws, *shape). For image-sized states the
+    per-parameter diagnostics are computed on a deterministic pixel
+    subsample of `max_params` coordinates plus two global scalar
+    functionals (mean and second moment of each draw)."""
+    draws = np.asarray(draws)
+    nc, nd = draws.shape[:2]
+    flat = draws.reshape(nc, nd, -1)
+    dim = flat.shape[-1]
+    idx = np.linspace(0, dim - 1, min(max_params, dim)).astype(int)
+    sub = flat[:, :, idx]
+    r = split_rhat(sub)
+    e = ess(sub)
+    scalar_mean = flat.mean(axis=-1)
+    scalar_m2 = (flat ** 2).mean(axis=-1)
+    return {
+        "n_chains": int(nc),
+        "n_draws": int(nd),
+        "rhat_max": float(np.nanmax(r)),
+        "rhat_median": float(np.nanmedian(r)),
+        "ess_min": float(np.nanmin(e)),
+        "ess_median": float(np.nanmedian(e)),
+        "rhat_scalar_mean": float(split_rhat(scalar_mean[..., None])[0]),
+        "ess_scalar_mean": float(ess(scalar_mean[..., None])[0]),
+        "rhat_scalar_m2": float(split_rhat(scalar_m2[..., None])[0]),
+        "ess_scalar_m2": float(ess(scalar_m2[..., None])[0]),
+    }

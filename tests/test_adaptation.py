@@ -78,7 +78,9 @@ def test_dual_averaging_lockstep_runner():
     )(states)
     assert (np.asarray(out.epoch) <= cfg.total_epochs).all()
     assert (np.asarray(out.epoch) > 0).all()
-    assert int(da.t) == cfg.max_attempts
+    # the runner exits as soon as every chain finishes (and stops updating
+    # epsilon then — post-completion rounds would read 0 acceptance)
+    assert 0 < int(da.t) <= cfg.max_attempts
     assert np.isfinite(float(da.log_eps))
 
 

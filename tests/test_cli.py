@@ -145,3 +145,35 @@ def test_cli_latent_hmc_mesh(tmp_path):
     ])
     assert "psnr" in summary and np.isfinite(summary["psnr"])
     assert os.path.exists(tmp_path / "0.png")
+
+
+def test_cli_hmc_save_epochs_and_diagnostics(tmp_path):
+    """--save_epochs writes per-accept hmc_{e}.png + a psnr/sigma_y trail
+    (main_sampling.py:733-742 artifact parity); --diagnostics reports
+    split-R-hat/ESS over chains."""
+    import glob
+    import json as _json
+
+    summary, opt = _run(
+        tmp_path, "--algo", "hmc", "--deg", "inpaint_random",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--hmc_epochs", "2", "--hmc_sampling", "2",
+        "--chains", "2", "--save_epochs", "--diagnostics",
+    )
+    assert np.isfinite(summary["psnr"])
+    pngs = glob.glob(str(tmp_path / "hmc_*.png"))
+    assert pngs, "no per-accept epoch images saved"
+    trail = _json.load(open(tmp_path / "hmc_trail_0.json"))
+    assert len(trail["psnr"]) == len(trail["sigma_y"]) == len(trail["epoch"])
+    assert len(trail["psnr"]) >= 1
+
+
+def test_cli_hmc_dual_averaging(tmp_path):
+    """--adapt da runs the dual-averaged shared-step-size engine."""
+    summary, opt = _run(
+        tmp_path, "--algo", "hmc", "--deg", "sr2",
+        "--tau", "0.1", "--epsilon", "0.05",
+        "--hmc_epochs", "2", "--hmc_sampling", "1",
+        "--chains", "2", "--adapt", "da", "--driver", "jit",
+    )
+    assert np.isfinite(summary["psnr"])
