@@ -72,10 +72,78 @@ class NpyDataset:
         return self.arr[i]
 
 
-def get_dataset(name: str, root: str, image_size: int = 256):
+class LSUNDataset:
+    """LSUN lmdb-backed class dataset (ref: datasets/lsun.py:11-61),
+    read through the pure-python LMDB parser (utils/lmdb_reader.py) —
+    no lmdb C dependency. Values are encoded images (webp in LSUN
+    exports); decoded with PIL, center-cropped on the long edge, and
+    resized."""
+
+    def __init__(self, root: str, image_size: int = 256):
+        from .lmdb_reader import LMDBReader
+
+        self.reader = LMDBReader(root)
+        self.image_size = image_size
+        # the reference caches the key list next to the db (lsun.py:30-36)
+        self.keys = self.reader.keys()
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        import io
+        from PIL import Image
+
+        buf = self.reader.get(self.keys[i])
+        img = Image.open(io.BytesIO(buf)).convert("RGB")
+        img = _center_crop_long_edge(img).resize(
+            (self.image_size, self.image_size))
+        return np.asarray(img, np.float32) / 255.0
+
+
+def _center_crop_long_edge(img):
+    """CenterCropLongEdge (ref: datasets/imagenet_subset.py:20-33)."""
+    w, h = img.size
+    s = min(w, h)
+    left = (w - s) // 2
+    top = (h - s) // 2
+    return img.crop((left, top, left + s, top + s))
+
+
+class ImageNetSubset:
+    """Meta-file-listed ImageNet subset with CenterCropLongEdge + resize
+    (ref: datasets/imagenet_subset.py:48-100, the val_100 list path at
+    datasets/__init__.py:160-166)."""
+
+    def __init__(self, root: str, meta_file: str, image_size: int = 256):
+        with open(meta_file) as f:
+            self.files = [
+                os.path.join(root, line.split()[0])
+                for line in f if line.strip()
+            ]
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(self.files[i]).convert("RGB")
+        img = _center_crop_long_edge(img).resize(
+            (self.image_size, self.image_size))
+        return np.asarray(img, np.float32) / 255.0
+
+
+def get_dataset(name: str, root: str, image_size: int = 256,
+                meta_file: Optional[str] = None):
     """Dataset dispatch (ref: datasets/__init__.py:47-197)."""
     name = name.lower()
-    if name in ("ffhq", "imagefolder", "imagenet"):
+    if name in ("ffhq", "imagefolder"):
+        return FolderDataset(root, image_size)
+    if name == "imagenet":
+        if meta_file:
+            return ImageNetSubset(root, meta_file, image_size)
         return FolderDataset(root, image_size)
     if name in ("celeba", "celeba_hq"):
         return FolderDataset(root, image_size,
@@ -83,10 +151,7 @@ def get_dataset(name: str, root: str, image_size: int = 256):
     if name == "npy" or root.endswith(".npy"):
         return NpyDataset(root, image_size)
     if name == "lsun":
-        raise NotImplementedError(
-            "LSUN requires the lmdb package (datasets/lsun.py); convert to "
-            "an image folder or npy stack instead"
-        )
+        return LSUNDataset(root, image_size)
     raise ValueError(f"unknown dataset {name!r}")
 
 
