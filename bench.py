@@ -29,6 +29,10 @@ def main():
     tiny = os.environ.get("BENCH_TINY", "") == "1"
     norm_fp32 = os.environ.get("BENCH_NORM_FP32", "1") != "0"
     remat = os.environ.get("BENCH_REMAT", "full")
+    # round-2 winners (A/B'd in scripts/perf_results.jsonl): per-channel
+    # GroupNorm stats + statically unrolled 3-step DDIM ladder
+    gn_impl = os.environ.get("BENCH_GN_IMPL", "chan")
+    unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
         return latent_main(batch, iters, tiny)
 
@@ -55,7 +59,8 @@ def main():
             num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
         )
     import dataclasses
-    cfg = dataclasses.replace(cfg, norm_fp32=norm_fp32, remat=remat)
+    cfg = dataclasses.replace(cfg, norm_fp32=norm_fp32, remat=remat,
+                              gn_impl=gn_impl)
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
@@ -63,7 +68,8 @@ def main():
 
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=unroll)
 
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
@@ -123,6 +129,8 @@ def main():
             "compile_s": round(compile_s, 1),
             "norm_fp32": norm_fp32,
             "remat": remat,
+            "gn_impl": gn_impl,
+            "unroll": unroll,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

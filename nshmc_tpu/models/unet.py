@@ -63,11 +63,17 @@ class UNetConfig:
     # memory, the default for HMC through chained U-Nets), "attn" (only
     # attention-bearing units — mirrors the reference, which always
     # checkpoints attention but not ResBlocks, unet_ffhq.py:367-368),
-    # "none" (store everything — fastest backward when memory allows).
-    # bool accepted for compatibility (True -> "full").
+    # "big" (remat only units whose input resolution >= remat_min_res —
+    # low-resolution activations are cheap to store, skipping their
+    # backward recompute), "none" (store everything — fastest backward
+    # when memory allows). bool accepted for compatibility (True -> "full").
     remat: object = "full"
+    remat_min_res: int = 128
     # fp32 GroupNorm islands (parity default; False = keep activation dtype)
     norm_fp32: bool = True
+    # GroupNorm lowering: "flax" (group-reshape) or "chan" (per-channel
+    # stats + tiny group combine — same numerics, faster TPU reduce path)
+    gn_impl: str = "flax"
 
     @classmethod
     def from_model_yaml(cls, **kw) -> "UNetConfig":
@@ -121,11 +127,12 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     norm_fp32: bool = True
+    gn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = groupnorm32("in_norm", self.param_dtype, self.norm_fp32)(x)
+        h = groupnorm32("in_norm", self.param_dtype, self.norm_fp32, self.gn_impl)(x)
         h = silu(h)
         if self.up:
             h = nearest_upsample_2x(h)
@@ -144,11 +151,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32)(h)
+            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32, self.gn_impl)(h)
             h = h * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32)(h)
+            h = groupnorm32("out_norm", self.param_dtype, self.norm_fp32, self.gn_impl)(h)
         h = silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -172,6 +179,7 @@ class AttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     norm_fp32: bool = True
+    gn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x):
@@ -183,7 +191,7 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         ch = c // heads
 
-        h = groupnorm32("norm", self.param_dtype, self.norm_fp32)(x)
+        h = groupnorm32("norm", self.param_dtype, self.norm_fp32, self.gn_impl)(x)
         tokens = h.reshape(b, hh * ww, c)
         qkv = dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="qkv")(tokens)
@@ -240,11 +248,11 @@ class EncoderUnit(nn.Module):
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
                      param_dtype=self.param_dtype,
-                     norm_fp32=cfg.norm_fp32, name="res")(h, emb)
+                     norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res")(h, emb)
         if self.use_attn:
             h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
                                dtype=self.dtype, param_dtype=self.param_dtype,
-                               norm_fp32=cfg.norm_fp32, name="attn")(h)
+                               norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
         return h
 
 
@@ -259,13 +267,13 @@ class MiddleUnit(nn.Module):
         ch = h.shape[-1]
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
-                     norm_fp32=cfg.norm_fp32, name="res1")(h, emb)
+                     norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res1")(h, emb)
         h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
                            dtype=self.dtype, param_dtype=self.param_dtype,
-                           norm_fp32=cfg.norm_fp32, name="attn")(h)
+                           norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
-                     norm_fp32=cfg.norm_fp32, name="res2")(h, emb)
+                     norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res2")(h, emb)
         return h
 
 
@@ -286,19 +294,19 @@ class DecoderUnit(nn.Module):
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
                      param_dtype=self.param_dtype,
-                     norm_fp32=cfg.norm_fp32, name="res")(h, emb)
+                     norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res")(h, emb)
         if self.use_attn:
             heads_attr = cfg.num_heads_upsample if cfg.num_heads_upsample != -1 \
                 else cfg.num_heads
             h = AttentionBlock(heads_attr, cfg.num_head_channels,
                                dtype=self.dtype, param_dtype=self.param_dtype,
-                               norm_fp32=cfg.norm_fp32, name="attn")(h)
+                               norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
         if self.do_up:
             if cfg.resblock_updown:
                 h = ResBlock(h.shape[-1], cfg.use_scale_shift_norm, up=True,
                              dropout=cfg.dropout, dtype=self.dtype,
                              param_dtype=self.param_dtype,
-                             norm_fp32=cfg.norm_fp32, name="upres")(h, emb)
+                             norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="upres")(h, emb)
             else:
                 h = Upsample(h.shape[-1], cfg.conv_resample, dtype=self.dtype,
                              param_dtype=self.param_dtype, name="upsample")(h)
@@ -325,17 +333,27 @@ class UNetModel(nn.Module):
         policy = {True: "full", False: "none"}.get(cfg.remat, cfg.remat)
         full = policy == "full"
         attn_only = policy == "attn"
+        big_only = policy == "big"
 
-        def enc_cls(use_attn):
-            return nn.remat(EncoderUnit) if (full or (attn_only and use_attn)) \
+        def _big(res):
+            return big_only and res >= cfg.remat_min_res
+
+        def enc_cls(use_attn, res):
+            return nn.remat(EncoderUnit) \
+                if (full or (attn_only and use_attn) or _big(res)) \
                 else EncoderUnit
 
-        def dec_cls(use_attn):
-            return nn.remat(DecoderUnit) if (full or (attn_only and use_attn)) \
+        def dec_cls(use_attn, res):
+            return nn.remat(DecoderUnit) \
+                if (full or (attn_only and use_attn) or _big(res)) \
                 else DecoderUnit
 
-        Mid = nn.remat(MiddleUnit) if (full or attn_only) else MiddleUnit
-        DownRes = nn.remat(ResBlock) if full else ResBlock
+        def mid_cls(res):
+            return nn.remat(MiddleUnit) if (full or attn_only or _big(res)) \
+                else MiddleUnit
+
+        def downres_cls(res):
+            return nn.remat(ResBlock) if (full or _big(res)) else ResBlock
 
         time_dim = cfg.model_channels * 4
         emb = timestep_embedding(timesteps, cfg.model_channels)
@@ -359,18 +377,19 @@ class UNetModel(nn.Module):
             out_ch = int(mult * cfg.model_channels)
             for i in range(cfg.num_res_blocks):
                 use_attn = ds in cfg.attention_ds
-                h = enc_cls(use_attn)(
+                h = enc_cls(use_attn, cfg.image_size // ds)(
                     out_ch, use_attn, cfg,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"down_{level}_{i}")(h, emb)
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
-                    h = DownRes(h.shape[-1], cfg.use_scale_shift_norm, down=True,
-                                dropout=cfg.dropout, dtype=self.dtype,
-                                param_dtype=self.param_dtype,
-                                norm_fp32=cfg.norm_fp32,
-                                name=f"down_{level}_downres")(h, emb)
+                    h = downres_cls(cfg.image_size // ds)(
+                        h.shape[-1], cfg.use_scale_shift_norm, down=True,
+                        dropout=cfg.dropout, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl,
+                        name=f"down_{level}_downres")(h, emb)
                 else:
                     h = Downsample(h.shape[-1], cfg.conv_resample,
                                    dtype=self.dtype, param_dtype=self.param_dtype,
@@ -379,8 +398,9 @@ class UNetModel(nn.Module):
                 ds *= 2
 
         # --- middle ---
-        h = Mid(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                name="middle")(h, emb)
+        h = mid_cls(cfg.image_size // ds)(
+            cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="middle")(h, emb)
 
         # --- decoder ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -390,7 +410,7 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 do_up = (level != 0) and (i == cfg.num_res_blocks)
                 use_attn = ds in cfg.attention_ds
-                h = dec_cls(use_attn)(
+                h = dec_cls(use_attn, cfg.image_size // ds)(
                     out_ch, use_attn, do_up, cfg,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up_{level}_{i}")(h, emb)
@@ -398,7 +418,7 @@ class UNetModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        h = groupnorm32("out_norm", self.param_dtype, cfg.norm_fp32)(h)
+        h = groupnorm32("out_norm", self.param_dtype, cfg.norm_fp32, cfg.gn_impl)(h)
         h = silu(h)
         h = conv(cfg.out_channels, zero_init=True, dtype=self.dtype,
                  param_dtype=self.param_dtype, name="out_conv")(h)

@@ -44,14 +44,27 @@ def ddim_step(model_fn: ModelFn, schedule: DiffusionSchedule,
 
 
 def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
-                seq: DDIMSequence, x: jnp.ndarray) -> jnp.ndarray:
+                seq: DDIMSequence, x: jnp.ndarray,
+                unroll: bool = False) -> jnp.ndarray:
     """Unroll the full DDIM ladder x_T -> x_0 as a lax.scan.
 
     The terminal step maps to alpha_bar(-1) = 1, so the returned array is the
     final (already clipped) x0 prediction — identical to the reference's
     `iterative_sampling(...).clip(-1, 1)` on the unconditional path.
+
+    unroll=True emits the steps as straight-line code with STATIC timesteps
+    (the t gather and the scan's loop state become compile-time constants) —
+    larger HLO but no dynamic-slice/loop-state traffic and cross-step fusion;
+    at 3 steps this is a perf knob, numerics are identical.
     """
-    pairs = jnp.asarray(seq.reversed_pairs())
+    pairs = seq.reversed_pairs()
+    if unroll:
+        xt = x
+        for t, t_next in pairs.tolist():
+            xt, _ = ddim_step(model_fn, schedule, xt,
+                              jnp.int32(t), jnp.int32(t_next))
+        return xt
+    pairs = jnp.asarray(pairs)
 
     def body(xt, pair):
         xt_next, _ = ddim_step(model_fn, schedule, xt, pair[0], pair[1])
@@ -62,10 +75,10 @@ def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
 
 
 def make_decoder(model_fn: ModelFn, schedule: DiffusionSchedule,
-                 seq: DDIMSequence):
+                 seq: DDIMSequence, unroll: bool = False):
     """Close over model/schedule: returns decode(x_T) -> x_0 (batch NHWC)."""
 
     def decode(x):
-        return ddim_decode(model_fn, schedule, seq, x)
+        return ddim_decode(model_fn, schedule, seq, x, unroll=unroll)
 
     return decode

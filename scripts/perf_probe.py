@@ -24,6 +24,8 @@ def main():
         remat = "none"
     if "attnremat" in parts:
         remat = "attn"
+    if "bigremat" in parts:
+        remat = "big"
     fwd_only = "fwd" in parts
     xla_attn = "xlaattn" in parts
     # "chainN": fuse N energy+grad evals into ONE device call
@@ -35,6 +37,8 @@ def main():
     f32 = "f32" in parts
     p16 = "p16" in parts
     gn16 = "gn16" in parts
+    unroll = "unroll" in parts
+    gnchan = "gnchan" in parts
 
     import jax
     import jax.numpy as jnp
@@ -57,7 +61,8 @@ def main():
         learn_sigma=True, attention_resolutions=16, num_heads=4,
         num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
     )
-    cfg = UNetConfig(**{**cfg.__dict__, "remat": remat, "norm_fp32": not gn16})
+    cfg = UNetConfig(**{**cfg.__dict__, "remat": remat, "norm_fp32": not gn16,
+                        "gn_impl": "chan" if gnchan else "flax"})
     d = cfg.image_size
     dtype = jnp.float32 if f32 else jnp.bfloat16
     model = UNetModel(cfg, dtype=dtype)
@@ -70,7 +75,8 @@ def main():
 
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=unroll)
 
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
@@ -126,7 +132,8 @@ def main():
         "xla_flops_scaled_by_chain_n": bool(flops and chain_n),
         "tflops_per_s": round(flops / dt / 1e12, 2) if flops else None,
         "xla_attn": xla_attn, "dtype": "f32" if f32 else "bf16",
-        "param_bf16": p16, "gn16": gn16, "fused_evals": chain_n or 1,
+        "param_bf16": p16, "gn16": gn16, "unroll": unroll, "gnchan": gnchan,
+        "fused_evals": chain_n or 1,
         "sec_per_call": round(dt, 4),
         "sec_per_eval": round(dt / (chain_n or 1), 4),
         "chain_evals_per_s": round(batch * (chain_n or 1) / dt, 4),

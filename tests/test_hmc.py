@@ -234,3 +234,51 @@ def test_leapfrog_energy_conservation_small_eps():
         drifts.append(abs(float(log_ratio)))
     # second-order integrator: drift scales ~eps^2
     assert drifts[1] < drifts[0] * 0.05, drifts
+
+
+def test_observed_resume_heterogeneous_chains(tmp_path):
+    """Resume equivalence when chains finish at DIFFERENT attempt counts.
+
+    run_hmc_observed restarts at max(attempts); finished chains are frozen
+    with attempts below that, so per-chain attempt counts diverge. The
+    resumed run must be bitwise identical to an uninterrupted one
+    (VERDICT round-1 weak item 6)."""
+    from nshmc_tpu.hmc.engine import run_hmc_observed
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    # large epsilon -> frequent rejections -> chains finish (epoch =
+    # accepted count) at heterogeneous attempt counts
+    cfg = HMCConfig(sigma_0=0.3, tau=1.0, epsilon=0.9, epochs=2, sampling=1,
+                    max_attempts=60)
+    loss_fn = _linear_gaussian_loss(a, y, 0.3)
+    states0 = init_chains(jax.random.PRNGKey(7), cfg, 8, SHAPE)
+
+    ref = run_hmc_observed(loss_fn, cfg, states0)
+    assert int(jnp.max(ref.attempts)) > int(jnp.min(ref.attempts)), \
+        "test needs heterogeneous per-chain attempt counts"
+
+    class _Stop(Exception):
+        pass
+
+    stop_at = int(jnp.max(ref.attempts)) // 2
+
+    def interrupter(states, rnd):
+        if rnd >= stop_at:
+            raise _Stop
+
+    ckpt = str(tmp_path / "ck")
+    try:
+        run_hmc_observed(loss_fn, cfg, states0, callback=interrupter,
+                         checkpoint_dir=ckpt, checkpoint_every=1)
+    except _Stop:
+        pass
+
+    resumed = run_hmc_observed(loss_fn, cfg, states0, checkpoint_dir=ckpt)
+    for name in ("x", "epoch", "attempts", "tau", "epsilon", "accepted"):
+        r, f = getattr(ref, name, None), getattr(resumed, name, None)
+        if r is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(f),
+                                      err_msg=name)

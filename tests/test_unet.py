@@ -139,3 +139,37 @@ def test_norm_fp32_toggle():
     outbf = UNetModel(cfg16, dtype=jnp.bfloat16).apply(params, x, t)
     np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32),
                                atol=0.12, rtol=0.1)
+
+
+def test_gn_impl_and_big_remat_equivalence():
+    """gn_impl='chan' (per-channel-stats GroupNorm) and remat='big'
+    (resolution-thresholded checkpointing) are pure lowering knobs: same
+    param tree, bitwise-identical forward and gradient on CPU."""
+    import dataclasses
+
+    cfg = UNetConfig(
+        image_size=16, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+        num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    base = UNetModel(cfg)
+    params = base.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                       jnp.zeros((1,)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.full((2,), 500.0)
+    ref_out = base.apply(params, x, t)
+    ref_g = jax.grad(lambda x: jnp.sum(base.apply(params, x, t) ** 2))(x)
+
+    for variant in (
+        dataclasses.replace(cfg, gn_impl="chan"),
+        dataclasses.replace(cfg, remat="big", remat_min_res=8),
+        dataclasses.replace(cfg, gn_impl="chan", remat="big", remat_min_res=8),
+    ):
+        m = UNetModel(variant)
+        assert jax.tree_util.tree_structure(
+            m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                   jnp.zeros((1,)))) == jax.tree_util.tree_structure(params)
+        np.testing.assert_array_equal(np.asarray(m.apply(params, x, t)),
+                                      np.asarray(ref_out))
+        g = jax.grad(lambda x: jnp.sum(m.apply(params, x, t) ** 2))(x)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(ref_g))
