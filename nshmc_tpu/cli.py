@@ -168,7 +168,10 @@ def run_pixel(opt):
         cfg["diffusion"]["num_diffusion_timesteps"],
     )
     seq = DDIMSequence.create(opt.num_timesteps, opt.timesteps)
-    decode = make_decoder(model_fn, sched, seq)
+    # statically unroll short DDIM ladders: +23% flagship energy+grad on
+    # TPU (no scan state slicing, cross-step fusion); long ladders keep the
+    # scan to bound HLO size / compile time
+    decode = make_decoder(model_fn, sched, seq, unroll=opt.timesteps <= 8)
 
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0  # [-1,1] range scaling (main_sampling.py:348)
@@ -242,7 +245,8 @@ def run_pixel(opt):
 
                 builder = lambda p, op_, y_: make_pixel_loss_fn(
                     make_decoder(lambda x, t: model.apply(p, x, t),
-                                 sched, seq), op_, y_)
+                                 sched, seq, unroll=opt.timesteps <= 8),
+                    op_, y_)
                 if multiproc:
                     # --chains is the GLOBAL count; each process seeds its
                     # own slice and the states are lifted into one global
@@ -443,7 +447,8 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
 
     d = cfg["data"]["image_size"]
     c = cfg["data"]["channels"]
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=opt.timesteps <= 8)
     hmc_cfg = HMCConfig(sigma_0=sigma_0, tau=opt.tau, epsilon=opt.epsilon,
                         m=opt.m, epochs=opt.hmc_epochs,
                         sampling=opt.hmc_sampling)

@@ -94,7 +94,7 @@ def run_latent(opt):
     seq = DDIMSequence.create(cfg["model"]["timesteps"], opt.timesteps)
     stop_grad = not getattr(opt, "latent_full_grad", False)
     decode_z = make_decoder(ldm.model_fn(stop_gradient=stop_grad),
-                            ldm.schedule, seq)
+                            ldm.schedule, seq, unroll=opt.timesteps <= 8)
 
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0

@@ -71,9 +71,11 @@ class UNetConfig:
     remat_min_res: int = 128
     # fp32 GroupNorm islands (parity default; False = keep activation dtype)
     norm_fp32: bool = True
-    # GroupNorm lowering: "flax" (group-reshape) or "chan" (per-channel
-    # stats + tiny group combine — same numerics, faster TPU reduce path)
-    gn_impl: str = "flax"
+    # GroupNorm lowering: "chan" (per-channel stats + tiny group combine —
+    # same numerics, faster TPU reduce path; round-2 A/B: +7% flagship
+    # energy+grad) or "flax" (group-reshape). Bitwise-identical on CPU,
+    # differs only in f32 accumulation order on TPU.
+    gn_impl: str = "chan"
 
     @classmethod
     def from_model_yaml(cls, **kw) -> "UNetConfig":
