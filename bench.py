@@ -83,13 +83,30 @@ def main():
         r = y0[None] - op.H_img(x0)
         return jnp.sum(r**2)
 
-    energy_vg = jax.jit(jax.value_and_grad(loss))
+    # Measure the execution form the HMC engine actually runs: leapfrog
+    # chains L=20 energy+grad evals inside ONE device program
+    # (hmc/engine.py lax.while_loop), so per-call host dispatch (~75 ms on
+    # the tunneled chip) is amortized. BENCH_FUSE=1 recovers the round-1
+    # unfused measurement form.
+    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    vg = jax.value_and_grad(loss)
+
+    if fuse > 1:
+        def body(i, carry):
+            xc, acc = carry
+            v, g = vg(xc)
+            return (xc - 1e-6 * g, acc + v)
+
+        energy_vg = jax.jit(
+            lambda x: jax.lax.fori_loop(0, fuse, body, (x, 0.0)))
+    else:
+        energy_vg = jax.jit(vg)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3), jnp.float32)
 
     t0 = time.time()
-    v, g = energy_vg(x)
-    jax.block_until_ready(g)
+    out = energy_vg(x)
+    jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     trace_dir = os.environ.get("BENCH_TRACE", "")
@@ -97,9 +114,9 @@ def main():
         jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     for i in range(iters):
-        v, g = energy_vg(x + 1e-6 * i)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / iters
+        out = energy_vg(x + 1e-6 * i)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / (iters * fuse)
     if trace_dir:
         jax.profiler.stop_trace()
 
@@ -126,6 +143,7 @@ def main():
             "unet_fwd_per_s": round(unet_fwd_per_s, 4),
             "chains": batch,
             "sec_per_energy_grad_batch": round(dt, 4),
+            "fused_evals_per_call": fuse,
             "compile_s": round(compile_s, 1),
             "norm_fp32": norm_fp32,
             "remat": remat,

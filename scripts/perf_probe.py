@@ -24,8 +24,12 @@ def main():
         remat = "none"
     if "attnremat" in parts:
         remat = "attn"
-    if "bigremat" in parts:
-        remat = "big"
+    min_res = 128
+    for p in parts:
+        if p.startswith("bigremat"):
+            remat = "big"
+            if p[len("bigremat"):]:
+                min_res = int(p[len("bigremat"):])
     fwd_only = "fwd" in parts
     xla_attn = "xlaattn" in parts
     # "chainN": fuse N energy+grad evals into ONE device call
@@ -62,7 +66,8 @@ def main():
         num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
     )
     cfg = UNetConfig(**{**cfg.__dict__, "remat": remat, "norm_fp32": not gn16,
-                        "gn_impl": "chan" if gnchan else "flax"})
+                        "gn_impl": "chan" if gnchan else "flax",
+                        "remat_min_res": min_res})
     d = cfg.image_size
     dtype = jnp.float32 if f32 else jnp.bfloat16
     model = UNetModel(cfg, dtype=dtype)
