@@ -28,7 +28,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     tiny = os.environ.get("BENCH_TINY", "") == "1"
     norm_fp32 = os.environ.get("BENCH_NORM_FP32", "1") != "0"
-    remat = os.environ.get("BENCH_REMAT", "full")
+    remat = os.environ.get("BENCH_REMAT", "big")
     # round-2 winners (A/B'd in scripts/perf_results.jsonl): per-channel
     # GroupNorm stats + statically unrolled 3-step DDIM ladder
     gn_impl = os.environ.get("BENCH_GN_IMPL", "chan")

@@ -65,9 +65,11 @@ class UNetConfig:
     # checkpoints attention but not ResBlocks, unet_ffhq.py:367-368),
     # "big" (remat only units whose input resolution >= remat_min_res —
     # low-resolution activations are cheap to store, skipping their
-    # backward recompute), "none" (store everything — fastest backward
-    # when memory allows). bool accepted for compatibility (True -> "full").
-    remat: object = "full"
+    # backward recompute; round-2 A/B: +7% flagship energy+grad over
+    # "full" at identical numerics, and the default), "none" (store
+    # everything — fastest backward when memory allows). bool accepted
+    # for compatibility (True -> "full").
+    remat: object = "big"
     remat_min_res: int = 128
     # fp32 GroupNorm islands (parity default; False = keep activation dtype)
     norm_fp32: bool = True
