@@ -88,7 +88,7 @@ def main():
     # (hmc/engine.py lax.while_loop), so per-call host dispatch (~75 ms on
     # the tunneled chip) is amortized. BENCH_FUSE=1 recovers the round-1
     # unfused measurement form.
-    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    fuse = int(os.environ.get("BENCH_FUSE", "8"))
     vg = jax.value_and_grad(loss)
 
     if fuse > 1:
@@ -187,7 +187,8 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
         zdim = 64
         d = 256
     seq = DDIMSequence.create(1000, 3)
-    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq)
+    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq,
+                            unroll=True)
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
     mr = 3 * perm

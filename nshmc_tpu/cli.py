@@ -227,7 +227,9 @@ def run_pixel(opt):
             )
 
             ccfg = ConditionedHMCConfig(sigma_0=sigma_0, tau=opt.tau,
-                                        epsilon=opt.epsilon)
+                                        epsilon=opt.epsilon,
+                                        epochs=opt.hmc_epochs,
+                                        sampling=opt.hmc_sampling)
             loss_fn = make_pixel_loss_fn(decode, operator, y0[0])
             states = init_conditioned_chains(k_run, ccfg, opt.chains, (d, d, c))
             out = jax.jit(
