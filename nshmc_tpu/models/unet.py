@@ -73,6 +73,11 @@ class UNetConfig:
     remat_min_res: int = 128
     # fp32 GroupNorm islands (parity default; False = keep activation dtype)
     norm_fp32: bool = True
+    # conditional LDM: when context_dim is set, attention positions use the
+    # cross-attention SpatialTransformer (ref: openaimodel.py:413
+    # use_spatial_transformer path) instead of AttnBlock
+    context_dim: Optional[int] = None
+    transformer_depth: int = 1
     # GroupNorm lowering: "chan" (per-channel stats + tiny group combine —
     # same numerics, faster TPU reduce path; round-2 A/B: +7% flagship
     # energy+grad) or "flax" (group-reshape). Bitwise-identical on CPU,
@@ -237,6 +242,38 @@ class Upsample(nn.Module):
         return x
 
 
+
+
+def _attention_unit(cfg: UNetConfig, heads: int, dtype, param_dtype,
+                    name: str):
+    """AttnBlock (unconditional) or SpatialTransformer (context_dim set),
+    mirroring openaimodel.py's use_spatial_transformer switch."""
+    if cfg.context_dim is not None:
+        from .ldm.transformer import SpatialTransformer
+
+        def apply(h, context=None, _name=name):
+            ch = h.shape[-1]
+            if cfg.num_head_channels == -1:
+                n_heads, d_head = heads, ch // heads
+            else:
+                n_heads, d_head = ch // cfg.num_head_channels, \
+                    cfg.num_head_channels
+            return SpatialTransformer(
+                ch, n_heads, d_head, depth=cfg.transformer_depth,
+                context_dim=cfg.context_dim, dtype=dtype,
+                param_dtype=param_dtype, name=_name)(h, context=context)
+
+        return apply
+
+    def apply(h, context=None, _name=name):
+        return AttentionBlock(heads, cfg.num_head_channels, dtype=dtype,
+                              param_dtype=param_dtype,
+                              norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl,
+                              name=_name)(h)
+
+    return apply
+
+
 class EncoderUnit(nn.Module):
     """One encoder stage: ResBlock (+ optional attention)."""
 
@@ -247,16 +284,15 @@ class EncoderUnit(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, emb):
+    def __call__(self, h, emb, context=None):
         cfg = self.config
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res")(h, emb)
         if self.use_attn:
-            h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
-                               dtype=self.dtype, param_dtype=self.param_dtype,
-                               norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
+            h = _attention_unit(cfg, cfg.num_heads, self.dtype,
+                                self.param_dtype, "attn")(h, context)
         return h
 
 
@@ -266,15 +302,14 @@ class MiddleUnit(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, emb):
+    def __call__(self, h, emb, context=None):
         cfg = self.config
         ch = h.shape[-1]
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res1")(h, emb)
-        h = AttentionBlock(cfg.num_heads, cfg.num_head_channels,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
+        h = _attention_unit(cfg, cfg.num_heads, self.dtype,
+                            self.param_dtype, "attn")(h, context)
         h = ResBlock(ch, cfg.use_scale_shift_norm, dropout=cfg.dropout,
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="res2")(h, emb)
@@ -293,7 +328,7 @@ class DecoderUnit(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, emb):
+    def __call__(self, h, emb, context=None):
         cfg = self.config
         h = ResBlock(self.out_channels, cfg.use_scale_shift_norm,
                      dropout=cfg.dropout, dtype=self.dtype,
@@ -302,9 +337,8 @@ class DecoderUnit(nn.Module):
         if self.use_attn:
             heads_attr = cfg.num_heads_upsample if cfg.num_heads_upsample != -1 \
                 else cfg.num_heads
-            h = AttentionBlock(heads_attr, cfg.num_head_channels,
-                               dtype=self.dtype, param_dtype=self.param_dtype,
-                               norm_fp32=cfg.norm_fp32, gn_impl=cfg.gn_impl, name="attn")(h)
+            h = _attention_unit(cfg, heads_attr, self.dtype,
+                                self.param_dtype, "attn")(h, context)
         if self.do_up:
             if cfg.resblock_updown:
                 h = ResBlock(h.shape[-1], cfg.use_scale_shift_norm, up=True,
@@ -330,7 +364,8 @@ class UNetModel(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, y=None, deterministic: bool = True):
+    def __call__(self, x, timesteps, y=None, deterministic: bool = True,
+                 context=None):
         cfg = self.config
         assert (y is not None) == (cfg.num_classes is not None)
 
@@ -384,7 +419,7 @@ class UNetModel(nn.Module):
                 h = enc_cls(use_attn, cfg.image_size // ds)(
                     out_ch, use_attn, cfg,
                     dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"down_{level}_{i}")(h, emb)
+                    name=f"down_{level}_{i}")(h, emb, context)
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
@@ -404,7 +439,7 @@ class UNetModel(nn.Module):
         # --- middle ---
         h = mid_cls(cfg.image_size // ds)(
             cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="middle")(h, emb)
+            name="middle")(h, emb, context)
 
         # --- decoder ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -417,7 +452,7 @@ class UNetModel(nn.Module):
                 h = dec_cls(use_attn, cfg.image_size // ds)(
                     out_ch, use_attn, do_up, cfg,
                     dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"up_{level}_{i}")(h, emb)
+                    name=f"up_{level}_{i}")(h, emb, context)
                 if do_up:
                     ds //= 2
         assert not hs

@@ -172,3 +172,37 @@ def test_spatial_transformer_param_tree_matches_port():
     ported = port_spatial_transformer(tmodel.state_dict())
     assert jax.tree_util.tree_structure(init) == \
         jax.tree_util.tree_structure(jax.tree.map(jnp.asarray, ported))
+
+
+def test_conditional_unet_context_flows():
+    """UNetConfig(context_dim=...) swaps attention positions to
+    SpatialTransformer (openaimodel.py use_spatial_transformer behavior)
+    and the context reaches the output. Zero-init convs (proj_out,
+    out_conv) are perturbed so contributions are visible."""
+    import flax
+
+    from nshmc_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(
+        image_size=16, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+        num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, context_dim=24,
+    )
+    m = UNetModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.full((2,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 24))
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+               jnp.zeros((1,)), context=jnp.zeros((1, 5, 24)))
+    flat = flax.traverse_util.flatten_dict(p["params"])
+    assert any("attn2" in k for k in flat), "cross-attention blocks missing"
+    for k in list(flat):
+        if ("proj_out" in k or "out_conv" in k) and flat[k].ndim == 4:
+            flat[k] = flat[k] + 0.02
+    p2 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    o1 = m.apply(p2, x, t, context=ctx)
+    o2 = m.apply(p2, x, t, context=2.0 * ctx)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-4
+    g = jax.grad(lambda c: jnp.sum(m.apply(p2, x, t, context=c) ** 2))(ctx)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
