@@ -5,6 +5,9 @@ same fused energy+grad measurement for the other BASELINE.json benchmark
 configs: sr4, phase retrieval, anisotropic deblur, and a 5-step ladder
 (ref flagship flags: README.md:79; configs list: BASELINE.json:6-12).
 
+Per-tag failures are recorded and skipped (phase retrieval needs jnp.fft
+on-device, which the axon tunnel backend reports UNIMPLEMENTED for).
+
 Usage: python scripts/bench_configs.py [tag ...]   (default: all)
 Appends JSON lines to scripts/perf_results.jsonl.
 """
@@ -24,6 +27,57 @@ CONFIGS = {
     "deblur_aniso_t3": ("deblur_aniso", 3),
     "inpaint_t5": ("inpaint_random", 5),
 }
+RESULTS = os.path.join(os.path.dirname(__file__), "perf_results.jsonl")
+
+
+def _record(rec):
+    print(json.dumps(rec), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _run_one(tag, batch, fuse, iters, model, params, sched, d):
+    import jax
+    import jax.numpy as jnp
+    from nshmc_tpu.schedules import DDIMSequence
+    from nshmc_tpu.sampling.ddim import make_decoder
+    from nshmc_tpu.operators import build_operator
+
+    deg, t = CONFIGS[tag]
+    seq = DDIMSequence.create(1000, t)
+    decode = make_decoder(lambda x, tt: model.apply(params, x, tt),
+                          sched, seq, unroll=True)
+    op = build_operator(deg, 3, d, np.random.default_rng(0))
+    y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
+
+    def loss(x):
+        r = y0[None] - op.H_img(decode(x))
+        return jnp.sum(jnp.abs(r) ** 2)
+
+    vg = jax.value_and_grad(loss)
+
+    def body(i, carry):
+        xc, acc = carry
+        v, g = vg(xc)
+        return (xc - 1e-6 * g, acc + v)
+
+    fn = jax.jit(lambda x: jax.lax.fori_loop(0, fuse, body, (x, 0.0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3),
+                          jnp.float32)
+    t0 = time.time()
+    out = fn(x)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(x + 1e-6 * i)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / (iters * fuse)
+    _record({"tag": f"cfg-{tag}", "deg": deg, "timesteps": t,
+             "batch": batch, "fused_evals": fuse,
+             "sec_per_eval": round(dt, 4),
+             "chain_evals_per_s": round(batch / dt, 3),
+             "compile_s": round(compile_s, 1)})
 
 
 def main():
@@ -38,9 +92,7 @@ def main():
 
     enable_persistent_cache()
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
-    from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
-    from nshmc_tpu.sampling.ddim import make_decoder
-    from nshmc_tpu.operators import build_operator
+    from nshmc_tpu.schedules import DiffusionSchedule
 
     cfg = UNetConfig.from_model_yaml(
         image_size=256, num_channels=128, num_res_blocks=1, channel_mult="",
@@ -53,45 +105,11 @@ def main():
     sched = DiffusionSchedule.create(num_timesteps=1000)
 
     for tag in tags:
-        deg, t = CONFIGS[tag]
-        seq = DDIMSequence.create(1000, t)
-        decode = make_decoder(lambda x, tt: model.apply(params, x, tt),
-                              sched, seq, unroll=True)
-        op = build_operator(deg, 3, d, np.random.default_rng(0))
-        y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
-
-        def loss(x):
-            r = y0[None] - op.H_img(decode(x))
-            return jnp.sum(jnp.abs(r) ** 2)
-
-        vg = jax.value_and_grad(loss)
-
-        def body(i, carry):
-            xc, acc = carry
-            v, g = vg(xc)
-            return (xc - 1e-6 * g, acc + v)
-
-        fn = jax.jit(lambda x: jax.lax.fori_loop(0, fuse, body, (x, 0.0)))
-        x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3),
-                              jnp.float32)
-        t0 = time.time()
-        out = fn(x)
-        jax.block_until_ready(out)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        for i in range(iters):
-            out = fn(x + 1e-6 * i)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / (iters * fuse)
-        rec = {"tag": f"cfg-{tag}", "deg": deg, "timesteps": t,
-               "batch": batch, "fused_evals": fuse,
-               "sec_per_eval": round(dt, 4),
-               "chain_evals_per_s": round(batch / dt, 3),
-               "compile_s": round(compile_s, 1)}
-        print(json.dumps(rec), flush=True)
-        with open(os.path.join(os.path.dirname(__file__),
-                               "perf_results.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        try:
+            _run_one(tag, batch, fuse, iters, model, params, sched, d)
+        except Exception as e:
+            _record({"tag": f"cfg-{tag}", "status": "error",
+                     "error": f"{type(e).__name__}: {str(e)[:160]}"})
 
 
 if __name__ == "__main__":
