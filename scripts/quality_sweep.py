@@ -67,10 +67,81 @@ def combo_args(algo, deg, outdir):
     return args + common
 
 
-def run_combo(algo, deg, timeout):
+def na_check(algo, deg):
+    """Combos the reference itself cannot run (Hfuncs.py:115 is_linear)."""
     if algo in SVD_ALGOS and algo not in GRAD_ONLY and deg in NONLINEAR_DEGS:
         return {"algo": algo, "deg": deg, "status": "n/a",
                 "note": "SVD algo on nonlinear operator (reference crashes too)"}
+    return None
+
+
+def worker_main(combos, timeout):
+    """In-process sweep worker: one JAX runtime for a whole combo slice.
+
+    On a 2-core host each subprocess pays ~15 s of interpreter+JAX startup;
+    looping in-process amortizes that over the slice. Per-combo isolation
+    is a try/except + SIGALRM watchdog instead of a process boundary.
+    Emits one 'SWEEPRESULT {json}' line per combo for the parent to stream.
+    """
+    import contextlib
+    import io
+    import math
+    import signal
+
+    if ROOT not in sys.path:
+        sys.path.insert(0, ROOT)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nshmc_tpu.cli import main as cli_main
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    for algo, deg in combos:
+        t0 = time.time()
+        rec = {"algo": algo, "deg": deg}
+        buf = io.StringIO()
+        try:
+            with tempfile.TemporaryDirectory() as outdir:
+                signal.alarm(timeout)
+                try:
+                    with contextlib.redirect_stdout(buf):
+                        cli_main(combo_args(algo, deg, outdir))
+                finally:
+                    signal.alarm(0)
+            rec["wall_s"] = round(time.time() - t0, 1)
+            summary = None
+            for line in buf.getvalue().splitlines():
+                if line.startswith('{"summary"'):
+                    summary = json.loads(line)["summary"]
+            if summary is None:
+                rec["status"] = "no-summary"
+                rec["stdout_tail"] = buf.getvalue().strip().splitlines()[-5:]
+            else:
+                finite = all(isinstance(v, (int, float)) and math.isfinite(v)
+                             for v in summary.values())
+                rec["status"] = "ok" if finite else "nonfinite"
+                rec["psnr"] = summary.get("psnr")
+        except _Timeout:
+            rec["status"] = "timeout"
+            rec["wall_s"] = round(time.time() - t0, 1)
+        except BaseException as e:  # noqa: BLE001 — isolate combos
+            rec["status"] = "error"
+            rec["wall_s"] = round(time.time() - t0, 1)
+            rec["stderr_tail"] = [f"{type(e).__name__}: {e}"]
+        print("SWEEPRESULT " + json.dumps(rec), flush=True)
+
+
+def run_combo(algo, deg, timeout):
+    na = na_check(algo, deg)
+    if na is not None:
+        return na
     if algo in ("dps",) and deg in NONLINEAR_DEGS and deg != "phase":
         # reference DPS phase-retrieval is the only nonlinear DPS task it
         # tables (main_sampling.py:139-147); hdr/nonlinear-blur DPS still run
@@ -130,40 +201,11 @@ def render_matrix(results):
     return "\n".join(lines)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--jobs", type=int, default=6)
-    ap.add_argument("--timeout", type=int, default=900)
-    ap.add_argument("--only", default="",
-                    help="comma list algo:deg pairs to (re)run")
-    args = ap.parse_args()
-
-    combos = [(a, d) for a in PIXEL_ALGOS + LATENT_ALGOS for d in DEGS]
-    if args.only:
-        want = {tuple(x.split(":")) for x in args.only.split(",")}
-        combos = [c for c in combos if c in want]
-
-    results = []
-    with cf.ThreadPoolExecutor(max_workers=args.jobs) as ex:
-        futs = {ex.submit(run_combo, a, d, args.timeout): (a, d)
-                for a, d in combos}
-        for fut in cf.as_completed(futs):
-            r = fut.result()
-            results.append(r)
-            print(json.dumps(r), flush=True)
-
+def write_outputs(results):
     out_path = os.path.join(ROOT, "scripts", "quality_sweep.json")
-    prior = []
-    if args.only and os.path.exists(out_path):
-        with open(out_path) as f:
-            prior = [r for r in json.load(f)
-                     if (r["algo"], r["deg"]) not in
-                     {(x["algo"], x["deg"]) for x in results}]
-    results = prior + results
     with open(out_path, "w") as f:
         json.dump(sorted(results, key=lambda r: (r["algo"], r["deg"])), f,
                   indent=1)
-
     matrix = render_matrix(results)
     n_ok = sum(r["status"] == "ok" for r in results)
     n_na = sum(r["status"] == "n/a" for r in results)
@@ -187,6 +229,97 @@ def main():
     with open(res_md, "w") as f:
         f.write(txt)
     print(f"\n{n_ok} ok, {n_na} n/a, {n_bad} failing -> RESULTS.md updated")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", type=int, default=6,
+                    help="subprocess-per-combo concurrency (legacy mode)")
+    ap.add_argument("--inproc", type=int, default=0,
+                    help="use N in-process worker slices instead of a "
+                         "subprocess per combo (amortizes JAX startup)")
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--only", default="",
+                    help="comma list algo:deg pairs to (re)run")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip combos already ok/n-a in quality_sweep.json")
+    ap.add_argument("--worker-combos", default="",
+                    help="(internal) run this combo slice in-process")
+    args = ap.parse_args()
+
+    if args.worker_combos:
+        combos = [tuple(x.split(":")) for x in args.worker_combos.split(",")]
+        worker_main(combos, args.timeout)
+        return
+
+    combos = [(a, d) for a in PIXEL_ALGOS + LATENT_ALGOS for d in DEGS]
+    if args.only:
+        want = {tuple(x.split(":")) for x in args.only.split(",")}
+        combos = [c for c in combos if c in want]
+
+    out_path = os.path.join(ROOT, "scripts", "quality_sweep.json")
+    prior = []
+    if (args.resume or args.only) and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+    if args.resume:
+        done = {(r["algo"], r["deg"]) for r in prior
+                if r["status"] in ("ok", "n/a")}
+        combos = [c for c in combos if c not in done]
+        prior = [r for r in prior if (r["algo"], r["deg"]) in done]
+
+    results = []
+
+    def record(r):
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        keep = [p for p in prior if (p["algo"], p["deg"]) not in
+                {(x["algo"], x["deg"]) for x in results}]
+        write_outputs(keep + results)
+
+    if args.inproc:
+        live = [c for c in combos if na_check(*c) is None]
+        for c in combos:
+            na = na_check(*c)
+            if na is not None:
+                record(na)
+        slices = [live[i::args.inproc] for i in range(args.inproc)]
+        procs = []
+        for sl in slices:
+            if not sl:
+                continue
+            spec = ",".join(f"{a}:{d}" for a, d in sl)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker-combos", spec, "--timeout", str(args.timeout)],
+                cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True))
+
+        import threading
+
+        lock = threading.Lock()
+
+        def drain(p):
+            # record each result as it streams so a mid-run kill still
+            # leaves quality_sweep.json/RESULTS.md current
+            for line in p.stdout:
+                if line.startswith("SWEEPRESULT "):
+                    with lock:
+                        record(json.loads(line[len("SWEEPRESULT "):]))
+            p.wait()
+
+        with cf.ThreadPoolExecutor(max_workers=len(procs)) as ex:
+            list(ex.map(drain, procs))
+    else:
+        with cf.ThreadPoolExecutor(max_workers=args.jobs) as ex:
+            futs = {ex.submit(run_combo, a, d, args.timeout): (a, d)
+                    for a, d in combos}
+            for fut in cf.as_completed(futs):
+                record(fut.result())
+
+    keep = [p for p in prior if (p["algo"], p["deg"]) not in
+            {(x["algo"], x["deg"]) for x in results}]
+    write_outputs(keep + results)
 
 
 if __name__ == "__main__":
