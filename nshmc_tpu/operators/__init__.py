@@ -21,7 +21,7 @@ from .linear import (
 )
 from .deblur import Deblurring, Deblurring2D, SRConv
 from .cs import WalshHadamardCS, fwht
-from .nonlinear import PhaseRetrieval, HDR, fft2c, ifft2c
+from .nonlinear import PhaseRetrieval, HDR, fft2c, ifft2c, set_fft_impl
 from .general import GeneralH
 
 __all__ = [
@@ -30,7 +30,7 @@ __all__ = [
     "Deblurring", "Deblurring2D", "SRConv", "WalshHadamardCS",
     "PhaseRetrieval", "HDR", "GeneralH", "NonlinearBlur",
     "random_inpainting_indices", "box_inpainting_indices",
-    "build_operator", "fwht", "fft2c", "ifft2c",
+    "build_operator", "fwht", "fft2c", "ifft2c", "set_fft_impl",
 ]
 
 

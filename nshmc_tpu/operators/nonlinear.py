@@ -10,25 +10,75 @@ used by some samplers.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from .base import Operator
+
+# 2D-DFT lowering: "fft" uses jnp.fft.fftn (XLA's FFT op — native on CPU/GPU
+# and standard TPU runtimes); "matmul" computes the orthonormal DFT as two
+# complex matrix products, which rides the MXU and works on TPU backends
+# whose runtime lacks the FFT custom-call (the axon single-chip tunnel
+# reports it UNIMPLEMENTED). "auto" picks matmul only on such backends.
+# At phase-retrieval shapes (384x384 padded grids) the matmul DFT is
+# O(n^3) vs O(n^2 log n) but the constant rides the systolic array, so it
+# is throughput-competitive for n <= ~1k.
+_FFT_IMPL = os.environ.get("NSHMC_FFT_IMPL", "auto")
+
+
+def set_fft_impl(impl: str) -> None:
+    """Override the DFT lowering: 'fft', 'matmul', or 'auto'."""
+    global _FFT_IMPL
+    assert impl in ("fft", "matmul", "auto"), impl
+    _FFT_IMPL = impl
+
+
+def _use_matmul() -> bool:
+    if _FFT_IMPL == "matmul":
+        return True
+    if _FFT_IMPL == "fft":
+        return False
+    return jax.default_backend() == "axon"
+
+
+def _dft_mat(n: int, inverse: bool) -> np.ndarray:
+    """Orthonormal DFT matrix (symmetric), built host-side at trace time."""
+    k = np.arange(n)
+    sign = 2j if inverse else -2j
+    w = np.exp(sign * np.pi * np.outer(k, k) / n) / np.sqrt(n)
+    return w.astype(np.complex64)
+
+
+def _fftn2_matmul(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    m, n = x.shape[-2], x.shape[-1]
+    wm = jnp.asarray(_dft_mat(m, inverse))
+    wn = jnp.asarray(_dft_mat(n, inverse))
+    # DFT rows then columns: W_m @ X @ W_n (both W symmetric)
+    return jnp.matmul(wm, jnp.matmul(x.astype(jnp.complex64), wn))
 
 
 def fft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Centered orthonormal 2D FFT over the last two axes
     (ref: fastmri_utils.py:67-90: ifftshift -> fftn(ortho) -> fftshift)."""
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
-    x = jnp.fft.fftn(x, axes=(-2, -1), norm="ortho")
+    if _use_matmul():
+        x = _fftn2_matmul(x, inverse=False)
+    else:
+        x = jnp.fft.fftn(x, axes=(-2, -1), norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
 
 
 def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Centered orthonormal 2D inverse FFT (ref: fastmri_utils.py:92-117)."""
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
-    x = jnp.fft.ifftn(x, axes=(-2, -1), norm="ortho")
+    if _use_matmul():
+        x = _fftn2_matmul(x, inverse=True)
+    else:
+        x = jnp.fft.ifftn(x, axes=(-2, -1), norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
 
 
