@@ -33,6 +33,7 @@ def main():
     # GroupNorm stats + statically unrolled 3-step DDIM ladder
     gn_impl = os.environ.get("BENCH_GN_IMPL", "chan")
     unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
+    remat_min_res = int(os.environ.get("BENCH_REMAT_MIN_RES", "128"))
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
         return latent_main(batch, iters, tiny)
 
@@ -60,7 +61,7 @@ def main():
         )
     import dataclasses
     cfg = dataclasses.replace(cfg, norm_fp32=norm_fp32, remat=remat,
-                              gn_impl=gn_impl)
+                              gn_impl=gn_impl, remat_min_res=remat_min_res)
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
@@ -147,6 +148,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "norm_fp32": norm_fp32,
             "remat": remat,
+            "remat_min_res": remat_min_res,
             "gn_impl": gn_impl,
             "unroll": unroll,
             "backend": jax.default_backend(),
@@ -201,20 +203,34 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
         r = y0[None] - op.H_img(x0)
         return jnp.sum(r**2)
 
-    energy_vg = jax.jit(jax.value_and_grad(loss))
+    # same fused measurement form as the pixel path: the latent HMC engine
+    # runs L=20 evals per attempt inside one device program, so per-call
+    # dispatch (~75 ms tunneled) must be amortized to measure honestly
+    fuse = int(os.environ.get("BENCH_FUSE", "8"))
+    vg = jax.value_and_grad(loss)
+    if fuse > 1:
+        def body(i, carry):
+            zc, acc = carry
+            v, g = vg(zc)
+            return (zc - 1e-6 * g, acc + v)
+
+        energy_vg = jax.jit(
+            lambda z: jax.lax.fori_loop(0, fuse, body, (z, 0.0)))
+    else:
+        energy_vg = jax.jit(vg)
     z = jax.random.normal(jax.random.PRNGKey(1), (batch, zdim, zdim, 3),
                           jnp.float32)
 
     t0 = time.time()
-    v, g = energy_vg(z)
-    jax.block_until_ready(g)
+    out = energy_vg(z)
+    jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for i in range(iters):
-        v, g = energy_vg(z + 1e-6 * i)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / iters
+        out = energy_vg(z + 1e-6 * i)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / (iters * fuse)
 
     evals_per_s = batch / dt
     # latent budget: 70 attempts x (L+1)=21 evals (BASELINE.md)
@@ -228,6 +244,7 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
             "energy_grad_evals_per_s": round(evals_per_s, 4),
             "chains": batch,
             "sec_per_energy_grad_batch": round(dt, 4),
+            "fused_evals_per_call": fuse,
             "compile_s": round(compile_s, 1),
             "backend": jax.default_backend(),
         },
