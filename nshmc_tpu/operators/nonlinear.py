@@ -42,7 +42,17 @@ def _use_matmul() -> bool:
         return True
     if _FFT_IMPL == "fft":
         return False
-    return jax.default_backend() == "axon"
+    # the axon tunnel registers as plugin platform 'axon' but reports
+    # default_backend() == 'tpu'; its identity shows only in the PJRT
+    # platform_version string (env JAX_PLATFORMS is unreliable: this image
+    # pins it to axon even for processes that override to CPU in-process)
+    try:
+        from jax._src import xla_bridge
+
+        return "axon" in getattr(xla_bridge.get_backend(),
+                                 "platform_version", "")
+    except Exception:
+        return False
 
 
 def _dft_mat(n: int, inverse: bool) -> np.ndarray:
