@@ -62,6 +62,12 @@ def get_parser():
                    help="differentiate through the latent eps-net in "
                         "hmc_latent (the reference stop-grads it, "
                         "ddpm.py:892 — parity default off)")
+    p.add_argument("--lbfgs_epochs", type=int, default=300,
+                   help="DMPlug L-BFGS outer budget (ref: main_sampling.py"
+                        ":572-591, 300 closures)")
+    p.add_argument("--lbfgs_inner", type=int, default=20,
+                   help="DMPlug L-BFGS inner iterations per outer step "
+                        "(ref torch LBFGS max_iter=20)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--noise", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("-i", "--image_folder", default="out")
@@ -353,8 +359,15 @@ def run_pixel(opt):
                 return jnp.sum(r**2), x0
 
             x_init = jax.random.normal(k_run, (1, d, d, c))
-            fn = dmplug_adam if opt.algo == "dmplug_adam" else dmplug_lbfgs
-            _, dec = jax.jit(lambda x: fn(loss_and_decode, x))(x_init)
+            if opt.algo == "dmplug_adam":
+                _, dec = jax.jit(
+                    lambda x: dmplug_adam(loss_and_decode, x))(x_init)
+            else:
+                # drives device chunks from Python (early exit) — not
+                # wrappable in an outer jit
+                _, dec = dmplug_lbfgs(
+                    loss_and_decode, x_init,
+                    epochs=opt.lbfgs_epochs, max_inner=opt.lbfgs_inner)
             samples = np.asarray(dec)
         elif opt.algo == "daps":
             from .algos import DAPS

@@ -31,7 +31,13 @@ _FFT_IMPL = os.environ.get("NSHMC_FFT_IMPL", "auto")
 
 
 def set_fft_impl(impl: str) -> None:
-    """Override the DFT lowering: 'fft', 'matmul', or 'auto'."""
+    """Override the DFT lowering: 'fft', 'matmul', or 'auto'.
+
+    Caveat: the choice is read at TRACE time, so functions that were
+    already jit-compiled keep their cached lowering — call this before
+    the first compile (startup/env configuration), not to switch
+    implementations mid-run. Tests that flip it use fresh jit scopes.
+    """
     global _FFT_IMPL
     assert impl in ("fft", "matmul", "auto"), impl
     _FFT_IMPL = impl
@@ -67,8 +73,15 @@ def _fftn2_matmul(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     m, n = x.shape[-2], x.shape[-1]
     wm = jnp.asarray(_dft_mat(m, inverse))
     wn = jnp.asarray(_dft_mat(n, inverse))
-    # DFT rows then columns: W_m @ X @ W_n (both W symmetric)
-    return jnp.matmul(wm, jnp.matmul(x.astype(jnp.complex64), wn))
+    # DFT rows then columns: W_m @ X @ W_n (both W symmetric).
+    # Precision.HIGHEST keeps the MXU in f32-accumulate mode: the default
+    # bf16 passes lose ~3 decimal digits, which corrupts phase-retrieval
+    # measurements and HMC gradients on TPU (the only backend where this
+    # lowering activates).
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(
+        wm, jnp.matmul(x.astype(jnp.complex64), wn, precision=hi),
+        precision=hi)
 
 
 def fft2c(x: jnp.ndarray) -> jnp.ndarray:

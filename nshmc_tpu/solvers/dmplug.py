@@ -81,28 +81,69 @@ def dmplug_adam(loss_and_decode: Callable, x0, cfg: DMPlugAdamConfig = DMPlugAda
 
 
 def dmplug_lbfgs(loss_and_decode: Callable, x0, epochs: int = 300,
-                 max_inner: int = 20):
+                 max_inner: int = 20, tol_grad: float = 1e-7,
+                 tol_change: float = 1e-9, max_backtracking: int = 5,
+                 chunk: int = 20, progress: Callable | None = None):
     """L-BFGS on x_T (ref: main_sampling.py:572-591: 300 outer steps of
-    torch LBFGS with max_iter=20 ~ 300*20 inner iterations)."""
-    opt = optax.lbfgs()
+    torch LBFGS with max_iter=20 ~ 300*20 inner iterations).
+
+    Budget discipline (the previous fixed 6000-step scan with optax's
+    default zoom linesearch made several extra full-decode evaluations
+    per step and could not stop early — multi-hour runs at tiny shapes):
+      * backtracking linesearch capped at `max_backtracking` value evals,
+        with store_grad=True + value_and_grad_from_state so the accepted
+        point's value/grad are reused instead of recomputed;
+      * torch-LBFGS-style convergence exits (max|g| <= tol_grad or
+        |loss delta| <= tol_change, matching torch.optim.LBFGS defaults
+        tolerance_grad=1e-7 / tolerance_change=1e-9);
+      * the loop runs as `chunk`-step lax.while_loop segments driven from
+        Python, so callers get early exit, SIGALRM interruptibility, and
+        optional progress callbacks `progress(steps_done, loss)`.
+
+    NOT jittable from outside (drives device chunks from Python); call it
+    directly, not under jax.jit.
+    """
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_backtracking, store_grad=True))
 
     def loss_fn(x):
         loss, _ = loss_and_decode(x)
         return loss
 
-    vg = jax.value_and_grad(loss_fn)
+    vg_from_state = optax.value_and_grad_from_state(loss_fn)
+    total = epochs * max_inner
 
-    def body(carry, _):
-        x, opt_state = carry
-        loss, g = vg(x)
-        updates, opt_state = opt.update(
-            g, opt_state, x, value=loss, grad=g, value_fn=loss_fn
-        )
-        x = optax.apply_updates(x, updates)
-        return (x, opt_state), loss
+    @jax.jit
+    def run_chunk(x, opt_state, prev_loss, steps_done):
+        def cond(c):
+            _, _, _, i, conv = c
+            return (~conv) & (i < chunk)
 
-    (x, _), losses = jax.lax.scan(
-        body, (x0, opt.init(x0)), None, length=epochs * max_inner
-    )
+        def body(c):
+            x, st, prev, i, _ = c
+            loss, g = vg_from_state(x, state=st)
+            updates, st = opt.update(
+                g, st, x, value=loss, grad=g, value_fn=loss_fn)
+            x = optax.apply_updates(x, updates)
+            conv = (jnp.max(jnp.abs(g)) <= tol_grad) | (
+                jnp.abs(prev - loss) <= tol_change)
+            return (x, st, loss, i + 1, conv)
+
+        init = (x, opt_state, prev_loss,
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        x, st, loss, i, conv = jax.lax.while_loop(cond, body, init)
+        return x, st, loss, steps_done + i, conv
+
+    x, opt_state = x0, opt.init(x0)
+    prev_loss = jnp.asarray(jnp.inf, jnp.float32)
+    steps = jnp.asarray(0, jnp.int32)
+    while int(steps) < total:
+        x, opt_state, prev_loss, steps, conv = run_chunk(
+            x, opt_state, prev_loss, steps)
+        if progress is not None:
+            progress(int(steps), float(prev_loss))
+        if bool(conv):
+            break
     _, dec = loss_and_decode(x)
     return x, dec

@@ -64,6 +64,10 @@ def combo_args(algo, deg, outdir):
     if algo in ("hmc", "hmc_cond"):
         args += ["--hmc_epochs", "2", "--hmc_sampling", "1",
                  "--tau", "0.1", "--epsilon", "0.05"]
+    if algo == "dmplug_lbfgs":
+        # reduced budget at tiny shapes (mirrors the reduced hmc epochs);
+        # convergence exits usually stop it much earlier anyway
+        args += ["--lbfgs_epochs", "30", "--lbfgs_inner", "10"]
     return args + common
 
 
@@ -237,7 +241,12 @@ def main():
                     help="subprocess-per-combo concurrency (legacy mode)")
     ap.add_argument("--inproc", type=int, default=0,
                     help="use N in-process worker slices instead of a "
-                         "subprocess per combo (amortizes JAX startup)")
+                         "subprocess per combo (amortizes JAX startup). "
+                         "NOTE: the per-combo --timeout is a SIGALRM "
+                         "watchdog that only fires between Python "
+                         "bytecodes — a combo stuck inside one native "
+                         "XLA compile/execute call can overrun it "
+                         "(subprocess mode hard-kills instead)")
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--only", default="",
                     help="comma list algo:deg pairs to (re)run")
@@ -285,31 +294,53 @@ def main():
                 record(na)
         slices = [live[i::args.inproc] for i in range(args.inproc)]
         procs = []
-        for sl in slices:
+        for wi, sl in enumerate(slices):
             if not sl:
                 continue
             spec = ",".join(f"{a}:{d}" for a, d in sl)
-            procs.append(subprocess.Popen(
+            errpath = os.path.join(ROOT, "scripts",
+                                   f"quality_sweep_worker{wi}.stderr")
+            procs.append((subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--worker-combos", spec, "--timeout", str(args.timeout)],
-                cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                text=True))
+                cwd=ROOT, stdout=subprocess.PIPE,
+                stderr=open(errpath, "w"), text=True), sl, errpath))
 
         import threading
 
         lock = threading.Lock()
 
-        def drain(p):
+        def drain(entry):
+            p, sl, errpath = entry
+            seen = set()
             # record each result as it streams so a mid-run kill still
             # leaves quality_sweep.json/RESULTS.md current
             for line in p.stdout:
                 if line.startswith("SWEEPRESULT "):
+                    r = json.loads(line[len("SWEEPRESULT "):])
+                    seen.add((r["algo"], r["deg"]))
                     with lock:
-                        record(json.loads(line[len("SWEEPRESULT "):]))
-            p.wait()
+                        record(r)
+            rc = p.wait()
+            # a worker that died mid-slice (OOM/segfault) silently drops
+            # its remaining combos — record them as errors, not '—'
+            dropped = [c for c in sl if tuple(c) not in seen]
+            if dropped:
+                tail = []
+                try:
+                    with open(errpath) as f:
+                        tail = f.read().strip().splitlines()[-8:]
+                except OSError:
+                    pass
+                for a, d in dropped:
+                    with lock:
+                        record({"algo": a, "deg": d, "status": "error",
+                                "stderr_tail":
+                                    [f"worker exited rc={rc}"] + tail})
 
-        with cf.ThreadPoolExecutor(max_workers=len(procs)) as ex:
-            list(ex.map(drain, procs))
+        if procs:
+            with cf.ThreadPoolExecutor(max_workers=len(procs)) as ex:
+                list(ex.map(drain, procs))
     else:
         with cf.ThreadPoolExecutor(max_workers=args.jobs) as ex:
             futs = {ex.submit(run_combo, a, d, args.timeout): (a, d)

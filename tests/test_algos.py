@@ -202,7 +202,30 @@ def test_dmplug_lbfgs_reduces_loss():
         return jnp.sum(r**2), x
 
     x0 = jnp.zeros((1, D, D, C))
-    x_fin, dec = jax.jit(
-        lambda x: dmplug_lbfgs(loss_and_decode, x, epochs=3, max_inner=10)
-    )(x0)
+    # dmplug_lbfgs drives device chunks from Python (early exit) — called
+    # directly, not under an outer jit
+    steps_seen = []
+    x_fin, dec = dmplug_lbfgs(loss_and_decode, x0, epochs=3, max_inner=10,
+                              progress=lambda s, l: steps_seen.append(s))
     assert float(loss_and_decode(x_fin)[0]) < 0.05 * float(loss_and_decode(x0)[0])
+    assert steps_seen and steps_seen[-1] <= 30
+
+
+def test_dmplug_lbfgs_converges_early():
+    """The convergence exits must stop the loop long before the nominal
+    300x20 budget on an easy quadratic (the round-2 implementation ran a
+    fixed 6000-step scan and could not stop)."""
+    from nshmc_tpu.solvers.dmplug import dmplug_lbfgs
+
+    a = jnp.asarray(RNG.uniform(0.5, 1.5, (D * D * C,)), jnp.float32)
+    y = jnp.asarray(RNG.standard_normal(D * D * C), jnp.float32)
+
+    def loss_and_decode(x):
+        r = y - a * x.reshape(-1)
+        return jnp.sum(r**2), x
+
+    steps_seen = []
+    dmplug_lbfgs(loss_and_decode, jnp.zeros((1, D, D, C)),
+                 epochs=300, max_inner=20,
+                 progress=lambda s, l: steps_seen.append(s))
+    assert steps_seen[-1] < 600, steps_seen[-1]
