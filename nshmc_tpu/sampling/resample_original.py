@@ -52,9 +52,12 @@ def make_ddim_timesteps(num_ddim: int, num_ddpm: int) -> np.ndarray:
 
 def make_ddim_alphas(schedule: DiffusionSchedule, timesteps: np.ndarray,
                      eta: float):
+    """(ref: ldm/modules/diffusionmodules/util.py:64-77
+    make_ddim_sampling_parameters): alphacums indexed at the +1-shifted
+    ddim timesteps directly — alphacums[t] with t already shifted."""
     ac = np.asarray(schedule.alphas_cumprod)
-    alphas = ac[timesteps - 1]  # alphas_cumprod indexed at ddim steps
-    alphas_prev = np.concatenate([[ac[0]], ac[timesteps[:-1] - 1]])
+    alphas = ac[timesteps]
+    alphas_prev = np.concatenate([[ac[0]], ac[timesteps[:-1]]])
     sigmas = eta * np.sqrt(
         (1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev)
     )
@@ -62,7 +65,10 @@ def make_ddim_alphas(schedule: DiffusionSchedule, timesteps: np.ndarray,
 
 
 def _adamw_opt(loss_fn, x0, iters, lr):
-    opt = optax.adamw(lr)
+    # weight_decay matches torch.optim.AdamW's default 0.01 used by the
+    # reference inner solves (resample_original.py:338,384); optax's own
+    # default is 1e-4
+    opt = optax.adamw(lr, weight_decay=0.01)
 
     def body(i, carry):
         x, st = carry
@@ -74,9 +80,10 @@ def _adamw_opt(loss_fn, x0, iters, lr):
     return x
 
 
-def stochastic_resample(pred_x0, x_t, a_t, sigma, key):
-    """(ref: resample_original.py:419-425)."""
-    noise = jax.random.normal(key, pred_x0.shape)
+def stochastic_resample(pred_x0, x_t, a_t, sigma, noise):
+    """(ref: resample_original.py:419-425). `noise` is a standard-normal
+    draw of pred_x0's shape (passed in so parity tests can replay the
+    reference's RNG)."""
     var = 1.0 / (1.0 / sigma + 1.0 / (1.0 - a_t))
     return (
         sigma * jnp.sqrt(a_t) * pred_x0 + (1 - a_t) * x_t
@@ -93,8 +100,15 @@ def resample_original_sample(
     z_T: jnp.ndarray,  # (B, h, w, c)
     key,
     cfg: ResampleOriginalConfig = ResampleOriginalConfig(),
+    travel_noise: jnp.ndarray | None = None,
 ):
-    """Run the full ReSample trajectory; returns the final latent."""
+    """Run the full ReSample trajectory; returns the final latent.
+
+    `travel_noise` (optional, shape (num_steps,) + z_T.shape) replaces the
+    per-step stochastic-resample draws — used by parity tests to replay
+    the reference's torch.randn_like sequence; production runs leave it
+    None and draw from `key`.
+    """
     timesteps = make_ddim_timesteps(cfg.ddim_steps, schedule.num_timesteps)
     alphas, alphas_prev, sigmas = make_ddim_alphas(schedule, timesteps, cfg.eta)
     total = len(timesteps)
@@ -109,8 +123,11 @@ def resample_original_sample(
         "a_prev": jnp.asarray(alphas_prev[order], jnp.float32),
         "sigma_t": jnp.asarray(sigmas[order], jnp.float32),
     }
+    if travel_noise is not None:
+        assert travel_noise.shape == (total,) + z_T.shape, travel_noise.shape
+        xs["travel_noise"] = jnp.asarray(travel_noise)
 
-    def pixel_stage(pred_x0, x_t, a_prev, a_t, k):
+    def pixel_stage(pred_x0, x_t, a_prev, a_t, noise):
         """(ref :277-292)."""
         x_pix = decode_fn(pred_x0)
 
@@ -120,9 +137,9 @@ def resample_original_sample(
         opt_pix = _adamw_opt(ploss, x_pix, cfg.pixel_opt_iters, cfg.pixel_opt_lr)
         opt_lat = encode_fn(opt_pix)
         sigma = cfg.gamma * (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
-        return stochastic_resample(opt_lat, x_t, a_prev, sigma, k)
+        return stochastic_resample(opt_lat, x_t, a_prev, sigma, noise)
 
-    def latent_stage(pred_x0, x_t, a_prev, a_t, k):
+    def latent_stage(pred_x0, x_t, a_prev, a_t, noise):
         """(ref :294-304)."""
 
         def lloss(z):
@@ -131,13 +148,16 @@ def resample_original_sample(
         opt_lat = _adamw_opt(lloss, pred_x0, cfg.latent_opt_iters,
                              cfg.latent_opt_lr)
         sigma = cfg.gamma * (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
-        return stochastic_resample(opt_lat, x_t, a_prev, sigma, k)
+        return stochastic_resample(opt_lat, x_t, a_prev, sigma, noise)
 
     def body(carry, x):
         img, key = carry
         key, k_noise, k_travel = jax.random.split(key, 3)
         step, index = x["step"], x["index"]
         a_t, a_prev, sigma_t = x["a_t"], x["a_prev"], x["sigma_t"]
+        tnoise = x.get("travel_noise")
+        if tnoise is None:
+            tnoise = jax.random.normal(k_travel, img.shape)
 
         def guided(img_in):
             tb = jnp.full((img_in.shape[0],), step)
@@ -163,9 +183,9 @@ def resample_original_sample(
             lambda im: jax.lax.cond(
                 index >= split,
                 lambda: pixel_stage(jax.lax.stop_gradient(pred_x0), im,
-                                    a_prev, a_t, k_travel),
+                                    a_prev, a_t, tnoise),
                 lambda: latent_stage(jax.lax.stop_gradient(pred_x0), im,
-                                     a_prev, a_t, k_travel),
+                                     a_prev, a_t, tnoise),
             ),
             lambda im: im,
             img,

@@ -75,6 +75,7 @@ def _torch_decode(tmodel, betas, seq, seq_next, xt):
     return xt
 
 
+@pytest.mark.slow
 def test_hmc_trajectory_parity():
     from guided_diffusion.unet_ffhq import create_model
     from obs_functions.Hfuncs import SuperResolution as TSR

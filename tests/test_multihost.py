@@ -71,6 +71,7 @@ def _launch(cli_args, tmp_path, nproc=2, timeout=600):
 
 
 
+@pytest.mark.slow
 def test_two_process_cooperative_hmc(tmp_path):
     """4 chains sharded over a 4-device cross-process mesh (2 procs x 2
     devices), both processes cooperating on one image."""
@@ -97,6 +98,7 @@ def test_two_process_cooperative_hmc(tmp_path):
 
 
 
+@pytest.mark.slow
 def test_two_process_data_sharded(tmp_path):
     """2 images split across 2 processes (per-host data sharding), metric
     rows gathered to process 0."""
