@@ -325,24 +325,29 @@ def port_kernel_wizard(state_dict, cfg: KernelWizardConfig = KernelWizardConfig(
     blocks expose down/submodule/up, recon_trunk is
     make_layer(ResidualBlock_noBN, back_RBs)):
 
-      feature_extractor.0.weight                 -> fe_conv0
-      feature_extractor.2.weight                 -> fe_conv1
-      feature_extractor.4.weight                 -> fe_conv2
-      feature_extractor.6.{i}.conv{1,2}.weight   -> fe_rb{i}.conv{1,2}
-      adapter.model.down.0.weight                -> adapter.b0.downconv
-      adapter.model.up.1.{weight,bias}           -> adapter.b0.upconv
-      adapter.model.submodule.down.1.weight      -> adapter.b1.downconv
-      adapter.model.submodule.up.1.weight        -> adapter.b1.upconv
-      ... (submodule nesting depth d -> b{d})
-      kernel_extractor.model.{1,4,7,10,13,16}.weight -> extractor head/down{i}
-      kernel_extractor.model.{18+i}.conv_block.{1,5}.weight
+      feature_extractor.{i}.weight               -> fe_conv0/1/2 (3 convs,
+                                                    Sequential order)
+      feature_extractor.{j}.{i}.conv{1,2}.weight -> fe_rb{i}.conv{1,2}
+      adapter.model[.submodule^d].down.{i}.weight -> adapter.b{d}.downconv
+      adapter.model[.submodule^d].up.{i}.weight   -> adapter.b{d}.upconv
+      kernel_extractor.model.{i}.weight          -> extractor head (7x7) +
+                                                    down0..4 (Sequential order)
+      kernel_extractor.model.{i}.conv_block.{j}.weight
                                                  -> extractor.res{i}.conv{1,2}
       recon_trunk.{i}.conv{1,2}.weight           -> rt_rb{i}.conv{1,2}
       upconv1 / upconv2 / HRconv / conv_last     -> upconv1/upconv2/hr_conv/
                                                     conv_last
 
-    Unknown keys raise KeyError so a layout mismatch is loud, not silent.
+    Sequential indices ({i}/{j} above) are INFERRED from the checkpoint's
+    own keys (sorted numeric positions of parameter-carrying layers) and
+    cross-checked against the config's channel plan and kernel shapes —
+    never hard-coded — so the port is insensitive to how many
+    parameterless layers (Identity norms, ReLU, ReflectionPad) the real
+    bkse construction interleaves. Unknown keys raise KeyError so a
+    layout mismatch is loud, not silent.
     """
+    import re
+
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     used = set()
 
@@ -357,45 +362,83 @@ def port_kernel_wizard(state_dict, cfg: KernelWizardConfig = KernelWizardConfig(
         if bias:
             p[name]["bias"] = take(tkey + ".bias")
 
-    put_conv("fe_conv0", "feature_extractor.0")
-    put_conv("fe_conv1", "feature_extractor.2")
-    put_conv("fe_conv2", "feature_extractor.4")
+    def seq_indices(pattern):
+        """Sorted Sequential indices of keys matching `pattern` (one \\d+
+        group). Index positions are DERIVED from the checkpoint, never
+        hard-coded, so Identity-norm placement differences in the real
+        bkse construction cannot silently mis-map (parameterless layers
+        like Identity/ReLU/ReflectionPad occupy indices but emit no keys)."""
+        out = set()
+        for k in sd:
+            m = re.fullmatch(pattern, k)
+            if m:
+                out.add(int(m.group(1)))
+        return sorted(out)
+
+    # feature_extractor: Sequential [conv, lrelu]x3 + make_layer(RB_noBN);
+    # the three plain convs and the resblock container index are inferred
+    fe_convs = seq_indices(r"feature_extractor\.(\d+)\.weight")
+    fe_rb = seq_indices(r"feature_extractor\.(\d+)\.\d+\.conv1\.weight")
+    assert len(fe_convs) == 3 and len(fe_rb) == 1, (fe_convs, fe_rb)
+    for j, ix in enumerate(fe_convs):
+        put_conv(f"fe_conv{j}", f"feature_extractor.{ix}")
     for i in range(cfg.front_RBs):
+        base = f"feature_extractor.{fe_rb[0]}.{i}"
         p[f"fe_rb{i}"] = {
-            "conv1": {"kernel": _t(take(f"feature_extractor.6.{i}.conv1.weight")),
-                      "bias": take(f"feature_extractor.6.{i}.conv1.bias")},
-            "conv2": {"kernel": _t(take(f"feature_extractor.6.{i}.conv2.weight")),
-                      "bias": take(f"feature_extractor.6.{i}.conv2.bias")},
+            "conv1": {"kernel": _t(take(f"{base}.conv1.weight")),
+                      "bias": take(f"{base}.conv1.bias")},
+            "conv2": {"kernel": _t(take(f"{base}.conv2.weight")),
+                      "bias": take(f"{base}.conv2.bias")},
         }
 
-    # adapter: torch submodule nesting depth d -> nested Flax b0/b1/.../bd
+    # adapter: torch submodule nesting depth d -> nested Flax b0/b1/.../bd;
+    # per-level down/up conv indices inferred (outermost down=[conv] ->
+    # down.0, inner down=[lrelu, conv] -> down.1; up=[relu, upconv, ...])
     adapter_root = {}
     node = adapter_root
     for depth in range(5):
         prefix = "adapter.model." + "submodule." * depth
-        blk = {}
-        down_idx = 0 if depth == 0 else 1  # non-outermost down = [lrelu, conv]
-        blk["downconv"] = {"kernel": _t(take(f"{prefix}down.{down_idx}.weight"))}
-        up = {"kernel": _tt(take(f"{prefix}up.1.weight"))}
-        if depth == 0:  # outermost upconv keeps its bias (bkse/pix2pix)
-            up["bias"] = take(f"{prefix}up.1.bias")
+        pre = re.escape(prefix)
+        (down_ix,) = seq_indices(pre + r"down\.(\d+)\.weight")
+        (up_ix,) = seq_indices(pre + r"up\.(\d+)\.weight")
+        blk = {"downconv":
+               {"kernel": _t(take(f"{prefix}down.{down_ix}.weight"))}}
+        up = {"kernel": _tt(take(f"{prefix}up.{up_ix}.weight"))}
+        if f"{prefix}up.{up_ix}.bias" in sd:  # outermost upconv keeps bias
+            assert depth == 0, f"unexpected upconv bias at depth {depth}"
+            up["bias"] = take(f"{prefix}up.{up_ix}.bias")
         blk["upconv"] = up
         node[f"b{depth}"] = blk
         node = blk
+    assert "bias" in adapter_root["b0"]["upconv"], \
+        "outermost adapter upconv must carry a bias (pix2pix layout)"
     p["adapter"] = adapter_root
 
-    # kernel extractor: Sequential indices with norm='none' Identity layers
-    # [pad, conv(1), Identity(2), relu(3)] then per-down [conv, Identity,
-    # relu] -> conv indices 4, 7, 10, 13, 16; resnet blocks follow at 19+.
-    ext = {"head": {"kernel": _t(take("kernel_extractor.model.1.weight"))}}
-    for i in range(5):
-        ext[f"down{i}"] = {
-            "kernel": _t(take(f"kernel_extractor.model.{4 + 3 * i}.weight"))}
-    for i in range(cfg.extractor_n_blocks):
-        base = f"kernel_extractor.model.{19 + i}.conv_block"
+    # kernel extractor: plain convs = head + 5 downs in Sequential order
+    # (identified by count and shape progression), resnet blocks by their
+    # .conv_block. subtree; all indices inferred
+    ext_convs = seq_indices(r"kernel_extractor\.model\.(\d+)\.weight")
+    assert len(ext_convs) == 6, ext_convs
+    head_ix, down_ixs = ext_convs[0], ext_convs[1:]
+    head_w = take(f"kernel_extractor.model.{head_ix}.weight")
+    assert head_w.shape[2:] == (7, 7), ("head conv must be the 7x7 "
+                                        "reflect-pad conv", head_w.shape)
+    ext = {"head": {"kernel": _t(head_w)}}
+    out_nc = cfg.kernel_dim * 2 if cfg.use_vae else cfg.kernel_dim
+    for i, ix in enumerate(down_ixs):
+        w = take(f"kernel_extractor.model.{ix}.weight")
+        assert w.shape[0] == min(cfg.nf * 2 ** (i + 1), out_nc), \
+            ("down conv channel plan mismatch", i, w.shape)
+        ext[f"down{i}"] = {"kernel": _t(w)}
+    res_ixs = seq_indices(r"kernel_extractor\.model\.(\d+)\.conv_block\.\d+\.weight")
+    assert len(res_ixs) == cfg.extractor_n_blocks, res_ixs
+    for i, ix in enumerate(res_ixs):
+        base = f"kernel_extractor.model.{ix}.conv_block"
+        cb = seq_indices(re.escape(base) + r"\.(\d+)\.weight")
+        assert len(cb) == 2, (base, cb)
         ext[f"res{i}"] = {
-            "conv1": {"kernel": _t(take(f"{base}.1.weight"))},
-            "conv2": {"kernel": _t(take(f"{base}.5.weight"))},
+            "conv1": {"kernel": _t(take(f"{base}.{cb[0]}.weight"))},
+            "conv2": {"kernel": _t(take(f"{base}.{cb[1]}.weight"))},
         }
     p["extractor"] = ext
 

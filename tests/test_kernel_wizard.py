@@ -230,6 +230,46 @@ def test_kernel_extractor_parity_with_torch_mirror():
                                mu_t, atol=2e-5)
 
 
+def test_port_is_layout_insensitive():
+    """The port must infer Sequential indices from the checkpoint keys, not
+    assume them: a mirror built WITHOUT the parameterless Identity norm
+    layers (compacted indices — head conv at model.1, downs at 3,5,7,9,11,
+    resblocks at 13+ with conv_block convs at 1,4) must port to the same
+    forward output as the canonical layout. This guards against the
+    self-validation risk of transcribing the same index assumption into
+    both the mirror and the port."""
+    torch.manual_seed(4)
+    canonical = TKernelWizard().eval()
+    sd = {k: v.detach().numpy() for k, v in canonical.state_dict().items()}
+
+    # rewrite extractor keys into the compacted (no-Identity) layout
+    import re
+
+    remap = {}
+    for i_old, i_new in [(1, 1)] + [(4 + 3 * i, 3 + 2 * i) for i in range(5)]:
+        remap[f"kernel_extractor.model.{i_old}."] = \
+            f"kernel_extractor.model.{i_new}."
+    for i in range(4):
+        remap[f"kernel_extractor.model.{19 + i}.conv_block."] = \
+            f"kernel_extractor.model.{13 + i}.conv_block."
+    shifted = {}
+    for k, v in sd.items():
+        for old, new in sorted(remap.items(), key=lambda kv: -len(kv[0])):
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        # compact conv_block conv indices 1,5 -> 1,4 (no Identity at 2)
+        k = re.sub(r"(conv_block\.)5(\.)", r"\g<1>4\g<2>", k)
+        shifted[k] = v
+    assert set(shifted) != set(sd)
+
+    cfg = _small_cfg()
+    p_canon = port_kernel_wizard(sd, cfg)
+    p_shift = port_kernel_wizard(shifted, cfg)
+    for a, b in zip(jax.tree.leaves(p_canon), jax.tree.leaves(p_shift)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_port_rejects_unknown_keys():
     torch.manual_seed(0)
     sd = {k: v.detach().numpy()
