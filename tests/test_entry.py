@@ -17,7 +17,10 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_2():
+def test_dryrun_multichip_2(monkeypatch):
+    # keep the default-suite variant fast; the driver artifact and the
+    # slow-marked 8-device test exercise the default 64^2 shape
+    monkeypatch.setenv("NSHMC_DRYRUN_SIZE", "32")
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(2)
