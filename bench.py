@@ -22,6 +22,85 @@ import numpy as np
 
 EVALS_PER_SAMPLE = 21 * 100  # (L+1) energy evals x (60 anneal + 40 burn/sample)
 
+_FUSE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scripts", "bench_fuse_cache.json")
+# rough cold-compile scale factors vs the tiny probe (measured round 2/3:
+# tiny ~20 s, flagship fuse=4 ~183 s, fuse=8 ~505 s through the relay)
+_FUSE_COMPILE_FACTOR = {8: 25.0, 4: 9.0, 2: 5.0, 1: 3.0}
+
+
+def _fuse_cache_load():
+    try:
+        with open(_FUSE_CACHE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _fuse_cache_store(key, fuse, compile_s):
+    cache = _fuse_cache_load()
+    cache.setdefault(key, {})[str(fuse)] = round(compile_s, 1)
+    try:
+        with open(_FUSE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception:
+        pass
+
+
+def _auto_fuse(key, budget_s):
+    """Pick the largest fuse whose cold compile fits budget_s: use measured
+    per-shape compile times when recorded, else probe-compile a tiny
+    program to gauge current relay load and extrapolate."""
+    rec = _fuse_cache_load().get(key, {})
+    measured = {int(k): v for k, v in rec.items() if k != "probe_s"}
+    for f in sorted(_FUSE_COMPILE_FACTOR, reverse=True):
+        if f in measured and measured[f] <= budget_s:
+            return f
+    probe_s = _probe_compile_s()
+    _fuse_cache_store(key, "probe_s", probe_s)
+    for f in sorted(_FUSE_COMPILE_FACTOR, reverse=True):
+        if f in measured:  # measured over budget: trust measurement
+            continue
+        if probe_s * _FUSE_COMPILE_FACTOR[f] <= budget_s:
+            return f
+    return 1
+
+
+def _probe_compile_s():
+    """Cold-compile a small fused energy+grad (32^2 tiny U-Net, fuse=8)
+    and time it — a live sample of relay compile latency."""
+    import jax
+    import jax.numpy as jnp
+    from nshmc_tpu.models.unet import UNetConfig, UNetModel
+    from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
+    from nshmc_tpu.sampling.ddim import make_decoder
+
+    cfg = UNetConfig(
+        image_size=32, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_ds=(2,), channel_mult=(1, 2), num_heads=2,
+        num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    model = UNetModel(cfg, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1,)))
+    sched = DiffusionSchedule.create(num_timesteps=1000)
+    seq = DDIMSequence.create(1000, 3)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=True)
+    vg = jax.value_and_grad(lambda x: jnp.sum(decode(x) ** 2))
+
+    def body(i, carry):
+        xc, acc = carry
+        v, g = vg(xc)
+        return (xc - 1e-6 * g, acc + v)
+
+    fn = jax.jit(lambda x: jax.lax.fori_loop(0, 8, body, (x, 0.0)))
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    t0 = time.time()
+    jax.block_until_ready(fn(x))
+    return time.time() - t0
+
 
 def main():
     batch = int(os.environ.get("BENCH_CHAINS", "8"))
@@ -88,9 +167,19 @@ def main():
     # chains L=20 energy+grad evals inside ONE device program
     # (hmc/engine.py lax.while_loop), so per-call host dispatch (~75 ms on
     # the tunneled chip) is amortized. BENCH_FUSE=1 recovers the round-1
-    # unfused measurement form.
-    fuse = int(os.environ.get("BENCH_FUSE", "8"))
+    # unfused measurement form; BENCH_FUSE=auto (default) picks the
+    # largest fuse whose estimated cold-compile fits BENCH_COMPILE_BUDGET
+    # seconds (probe-compiles a tiny program to gauge relay load, caches
+    # the decision and measured compile times per shape).
+    fuse_env = os.environ.get("BENCH_FUSE", "auto" if not tiny else "8")
     vg = jax.value_and_grad(loss)
+    fuse_cache_key = f"{jax.default_backend()}_d{d}_b{batch}"
+    if fuse_env == "auto":
+        fuse = _auto_fuse(
+            fuse_cache_key,
+            budget_s=float(os.environ.get("BENCH_COMPILE_BUDGET", "250")))
+    else:
+        fuse = int(fuse_env)
 
     if fuse > 1:
         def body(i, carry):
@@ -109,6 +198,8 @@ def main():
     out = energy_vg(x)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
+    if not tiny:
+        _fuse_cache_store(fuse_cache_key, fuse, compile_s)
 
     trace_dir = os.environ.get("BENCH_TRACE", "")
     if trace_dir:

@@ -23,8 +23,11 @@ import numpy as np
 CONFIGS = {
     "inpaint_t3": ("inpaint_random", 3),
     "sr4_t3": ("sr4", 3),
+    "sr16_t3": ("sr16", 3),
     "phase_t3": ("phase", 3),
     "deblur_aniso_t3": ("deblur_aniso", 3),
+    "deblur_nonlinear_t3": ("deblur_nonlinear", 3),
+    "hdr_t3": ("hdr", 3),
     "inpaint_t5": ("inpaint_random", 5),
 }
 RESULTS = os.path.join(os.path.dirname(__file__), "perf_results.jsonl")

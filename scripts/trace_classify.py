@@ -35,13 +35,24 @@ def main():
         learn_sigma=True, attention_resolutions=16, num_heads=4,
         num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
     )
+    # build the SAME program bench.py traces: env knobs match bench.py's
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg,
+        norm_fp32=os.environ.get("BENCH_NORM_FP32", "1") != "0",
+        remat=os.environ.get("BENCH_REMAT", "big"),
+        gn_impl=os.environ.get("BENCH_GN_IMPL", "chan"),
+        remat_min_res=int(os.environ.get("BENCH_REMAT_MIN_RES", "128")),
+    )
+    unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
                         jnp.zeros((1,)))
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=unroll)
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
     mr = 3 * perm
@@ -60,9 +71,34 @@ def main():
         v, g = vg(xc)
         return (xc - 1e-6 * g, acc + v)
 
-    fn = jax.jit(lambda xc: jax.lax.fori_loop(0, 4, body, (xc, 0.0)))
-    x = jnp.zeros((8, d, d, 3), jnp.float32)
-    hlo = fn.lower(x).compile().as_text()
+    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    batch = int(os.environ.get("BENCH_CHAINS", "8"))
+    fn = jax.jit(lambda xc: jax.lax.fori_loop(0, fuse, body, (xc, 0.0)))
+    x = jnp.zeros((batch, d, d, 3), jnp.float32)
+    compiled = fn.lower(x).compile()
+    hlo = compiled.as_text()
+
+    # FLOP accounting (VERDICT r2 weak-1a): XLA's count of the remat
+    # program treats recomputed backward convs as useful work. Report BOTH
+    # the XLA count and a useful-FLOP figure (3x the forward count: 1 fwd
+    # + ~2x-fwd bwd, the standard no-recompute accounting).
+    flop_report = {}
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flop_report["xla_flops_per_eval"] = float(ca["flops"]) / fuse
+    except Exception as e:  # noqa: BLE001
+        flop_report["xla_flops_error"] = str(e)[:120]
+    try:
+        fwd = jax.jit(loss)
+        cfwd = fwd.lower(x).compile()
+        caf = cfwd.cost_analysis()
+        caf = caf[0] if isinstance(caf, (list, tuple)) else caf
+        f_fwd = float(caf["flops"])
+        flop_report["fwd_flops"] = f_fwd
+        flop_report["useful_flops_per_eval"] = 3.0 * f_fwd
+    except Exception as e:  # noqa: BLE001
+        flop_report["fwd_flops_error"] = str(e)[:120]
 
     defs = {}
     for line in hlo.splitlines():
@@ -109,6 +145,12 @@ def main():
         total += sec
 
     out = {
+        "config": {
+            "fuse": fuse, "batch": batch, "remat": cfg.remat,
+            "gn_impl": cfg.gn_impl, "unroll": unroll,
+            "remat_min_res": cfg.remat_min_res,
+        },
+        "flops": flop_report,
         "total_device_s": round(total, 4),
         "by_class_s": {k: round(v, 4) for k, v in
                        sorted(cls_time.items(), key=lambda kv: -kv[1])},
