@@ -113,6 +113,7 @@ def main():
     gn_impl = os.environ.get("BENCH_GN_IMPL", "chan")
     unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
     remat_min_res = int(os.environ.get("BENCH_REMAT_MIN_RES", "128"))
+    save_gn_stats = os.environ.get("BENCH_SAVE_GN_STATS", "0") == "1"
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
         return latent_main(batch, iters, tiny)
 
@@ -140,7 +141,8 @@ def main():
         )
     import dataclasses
     cfg = dataclasses.replace(cfg, norm_fp32=norm_fp32, remat=remat,
-                              gn_impl=gn_impl, remat_min_res=remat_min_res)
+                              gn_impl=gn_impl, remat_min_res=remat_min_res,
+                              remat_save_gn_stats=save_gn_stats)
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
@@ -242,6 +244,7 @@ def main():
             "remat_min_res": remat_min_res,
             "gn_impl": gn_impl,
             "unroll": unroll,
+            "save_gn_stats": save_gn_stats,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -21,6 +21,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -86,6 +87,12 @@ class ChanStatsGroupNorm(nn.Module):
         gs2 = s2.reshape(-1, g, cg).sum(-1)
         mean = gs / n
         var = gs2 / n - mean**2
+        # Name the (B, G) moments so a remat policy can save them as
+        # residuals (save_only_these_names("gn_stats")): the backward
+        # recompute then skips the full-activation stats reduce and the
+        # normalize fuses with its producer in one pass. Values unchanged.
+        mean = checkpoint_name(mean, "gn_stats")
+        var = checkpoint_name(var, "gn_stats")
         inv = jax.lax.rsqrt(var + self.epsilon)
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         mean_c = jnp.repeat(mean, cg, axis=1).reshape(shape)

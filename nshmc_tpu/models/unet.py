@@ -23,8 +23,10 @@ TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -71,6 +73,13 @@ class UNetConfig:
     # for compatibility (True -> "full").
     remat: object = "big"
     remat_min_res: int = 128
+    # Save GroupNorm (B, G) moments as remat residuals
+    # (save_only_these_names("gn_stats")): the backward recompute of a
+    # rematted unit then skips every full-activation stats reduce (the
+    # dominant device-time class in the round-2 trace attribution) and the
+    # normalize fuses with its producer. Bitwise-identical outputs; costs
+    # ~1 kB per GN. Only effective with gn_impl="chan" (the tagged path).
+    remat_save_gn_stats: bool = False
     # fp32 GroupNorm islands (parity default; False = keep activation dtype)
     norm_fp32: bool = True
     # conditional LDM: when context_dim is set, attention positions use the
@@ -374,25 +383,33 @@ class UNetModel(nn.Module):
         attn_only = policy == "attn"
         big_only = policy == "big"
 
+        if cfg.remat_save_gn_stats:
+            _remat = functools.partial(
+                nn.remat,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "gn_stats"))
+        else:
+            _remat = nn.remat
+
         def _big(res):
             return big_only and res >= cfg.remat_min_res
 
         def enc_cls(use_attn, res):
-            return nn.remat(EncoderUnit) \
+            return _remat(EncoderUnit) \
                 if (full or (attn_only and use_attn) or _big(res)) \
                 else EncoderUnit
 
         def dec_cls(use_attn, res):
-            return nn.remat(DecoderUnit) \
+            return _remat(DecoderUnit) \
                 if (full or (attn_only and use_attn) or _big(res)) \
                 else DecoderUnit
 
         def mid_cls(res):
-            return nn.remat(MiddleUnit) if (full or attn_only or _big(res)) \
+            return _remat(MiddleUnit) if (full or attn_only or _big(res)) \
                 else MiddleUnit
 
         def downres_cls(res):
-            return nn.remat(ResBlock) if (full or _big(res)) else ResBlock
+            return _remat(ResBlock) if (full or _big(res)) else ResBlock
 
         time_dim = cfg.model_channels * 4
         emb = timestep_embedding(timesteps, cfg.model_channels)

@@ -58,7 +58,15 @@ def main():
             learn_sigma=True, attention_resolutions=16, num_heads=4,
             num_head_channels=64, use_scale_shift_norm=True, resblock_updown=True,
         )
-    cfg = dataclasses.replace(cfg, remat=os.environ.get("BENCH_REMAT", "full"))
+    # match bench.py's winning-config env knobs (round-2 A/B ladder)
+    cfg = dataclasses.replace(
+        cfg,
+        remat=os.environ.get("BENCH_REMAT", "big"),
+        gn_impl=os.environ.get("BENCH_GN_IMPL", "chan"),
+        remat_min_res=int(os.environ.get("BENCH_REMAT_MIN_RES", "128")),
+        norm_fp32=os.environ.get("BENCH_NORM_FP32", "1") != "0",
+    )
+    unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
     d = cfg.image_size
     model = UNetModel(cfg, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d, d, 3)),
@@ -66,7 +74,8 @@ def main():
 
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq)
+    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
+                          unroll=unroll)
 
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
@@ -115,8 +124,28 @@ def main():
         return rec
 
     fwd = probe("forward (3-step DDIM decode + H + loss)", loss)
-    vg = probe("energy+grad (value_and_grad, full remat)",
+    vg = probe("energy+grad (value_and_grad, remat=%s)" % cfg.remat,
                jax.value_and_grad(loss))
+
+    # Useful-FLOP MFU (VERDICT r2 weak #1a): XLA's FLOP count of the remat
+    # program includes recomputed forward convs as work. The USEFUL FLOPs of
+    # one energy+grad eval are fwd + bwd-dx only: the loss closes over
+    # params, so the vjp produces no weight cotangents and the dx backward
+    # of a conv costs the same FLOPs as its forward -> useful = 2x the
+    # forward program's count (the fwd probe above is the unrolled forward,
+    # counted exactly, with no recompute in it).
+    useful_tf = 2.0 * fwd["xla_tflops"]
+    useful_mfu = useful_tf / vg["sec_per_call"] / peak_tflops
+    print(json.dumps({
+        "phase": "useful-FLOP MFU (energy+grad, excl. remat recompute)",
+        "useful_tflop_per_eval": round(useful_tf, 2),
+        "xla_counted_tflop_per_eval": vg["xla_tflops"],
+        "remat_recompute_overcount_x": round(
+            vg["xla_tflops"] / useful_tf, 3) if useful_tf else None,
+        "useful_mfu_pct": round(100 * useful_mfu, 1),
+        "xla_counted_mfu_pct": round(
+            100 * vg["xla_tflops"] / vg["sec_per_call"] / peak_tflops, 1),
+    }))
 
     # Which roofline binds each phase: the higher achieved-% is the binding
     # resource; machine balance for the peaks used is peak_tflops*1e3/peak_gbs

@@ -80,8 +80,10 @@ def main():
 
     # FLOP accounting (VERDICT r2 weak-1a): XLA's count of the remat
     # program treats recomputed backward convs as useful work. Report BOTH
-    # the XLA count and a useful-FLOP figure (3x the forward count: 1 fwd
-    # + ~2x-fwd bwd, the standard no-recompute accounting).
+    # the XLA count and a useful-FLOP figure of 2x the forward count: the
+    # loss closes over params, so the vjp yields only the x-cotangent (no
+    # weight grads), and a conv's dx backward costs the same FLOPs as its
+    # forward -> useful = fwd + bwd-dx = 2x fwd.
     flop_report = {}
     try:
         ca = compiled.cost_analysis()
@@ -96,7 +98,7 @@ def main():
         caf = caf[0] if isinstance(caf, (list, tuple)) else caf
         f_fwd = float(caf["flops"])
         flop_report["fwd_flops"] = f_fwd
-        flop_report["useful_flops_per_eval"] = 3.0 * f_fwd
+        flop_report["useful_flops_per_eval"] = 2.0 * f_fwd
     except Exception as e:  # noqa: BLE001
         flop_report["fwd_flops_error"] = str(e)[:120]
 

@@ -164,6 +164,13 @@ def test_gn_impl_and_big_remat_equivalence():
         dataclasses.replace(cfg, gn_impl="chan"),
         dataclasses.replace(cfg, remat="big", remat_min_res=8),
         dataclasses.replace(cfg, gn_impl="chan", remat="big", remat_min_res=8),
+        # gn-stats-as-residuals: the remat policy saves the tagged (B, G)
+        # moments so the backward recompute skips the stats reduces —
+        # values must be bitwise identical (same floats, just cached)
+        dataclasses.replace(cfg, gn_impl="chan", remat="big", remat_min_res=8,
+                            remat_save_gn_stats=True),
+        dataclasses.replace(cfg, gn_impl="chan", remat="full",
+                            remat_save_gn_stats=True),
     ):
         m = UNetModel(variant)
         assert jax.tree_util.tree_structure(
