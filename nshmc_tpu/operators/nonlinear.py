@@ -84,6 +84,57 @@ def _fftn2_matmul(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         precision=hi)
 
 
+def _fftn2_matmul_pair(xr, xi, inverse: bool):
+    """Real-pair 2D matmul-DFT: complex64 arrays are themselves
+    UNIMPLEMENTED on some TPU runtimes (the axon tunnel rejects programs
+    containing them even with the matmul lowering), so compute
+    W_m (Xr + iXi) W_n entirely in f32 real/imaginary planes — the same
+    real-view-of-complex representation the reference uses
+    (fastmri_utils.py real (..., 2) pairs). xi may be None (real input)."""
+    m, n = xr.shape[-2], xr.shape[-1]
+    wm = _dft_mat(m, inverse)
+    wn = _dft_mat(n, inverse)
+    ar, ai = jnp.asarray(wm.real), jnp.asarray(wm.imag)
+    br, bi = jnp.asarray(wn.real), jnp.asarray(wn.imag)
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=hi)
+
+    xr = xr.astype(jnp.float32)
+    # T = X @ W_n
+    if xi is None:
+        tr, ti = mm(xr, br), mm(xr, bi)
+    else:
+        xi = xi.astype(jnp.float32)
+        tr = mm(xr, br) - mm(xi, bi)
+        ti = mm(xr, bi) + mm(xi, br)
+    # Y = W_m @ T
+    yr = mm(ar, tr) - mm(ai, ti)
+    yi = mm(ar, ti) + mm(ai, tr)
+    return yr, yi
+
+
+def _shift_pair(fn, pair):
+    return tuple(None if p is None else fn(p, axes=(-2, -1)) for p in pair)
+
+
+def fft2c_pair(xr, xi=None):
+    """Centered orthonormal 2D FFT on (real, imag) f32 planes — the
+    complex-free lowering for TPU runtimes without complex support.
+    Matches fft2c on CPU bit-for-bit up to matmul-DFT rounding."""
+    xr, xi = _shift_pair(jnp.fft.ifftshift, (xr, xi))
+    yr, yi = _fftn2_matmul_pair(xr, xi, inverse=False)
+    return _shift_pair(jnp.fft.fftshift, (yr, yi))
+
+
+def ifft2c_pair(xr, xi=None):
+    """Centered orthonormal 2D inverse FFT on (real, imag) f32 planes."""
+    xr, xi = _shift_pair(jnp.fft.ifftshift, (xr, xi))
+    yr, yi = _fftn2_matmul_pair(xr, xi, inverse=True)
+    return _shift_pair(jnp.fft.fftshift, (yr, yi))
+
+
 def fft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Centered orthonormal 2D FFT over the last two axes
     (ref: fastmri_utils.py:67-90: ifftshift -> fftn(ortho) -> fftshift)."""
@@ -153,15 +204,24 @@ class PhaseRetrieval(Operator):
         return img[:, :, p:-p, p:-p]
 
     def H(self, vec):
-        padded = self._pad_img(self._to_img(vec)).astype(jnp.complex64)
-        amplitude = jnp.abs(fft2c(padded))
+        padded = self._pad_img(self._to_img(vec))
+        if _use_matmul():
+            # complex-free path: some TPU runtimes reject complex64 programs
+            yr, yi = fft2c_pair(padded.astype(jnp.float32))
+            amplitude = jnp.sqrt(yr * yr + yi * yi)
+        else:
+            amplitude = jnp.abs(fft2c(padded.astype(jnp.complex64)))
         return amplitude.reshape(vec.shape[0], -1)
 
     def H_pinv(self, vec):
         b = vec.shape[0]
         big = self._img_dim + 2 * self._pad
-        y = vec.reshape(b, self._channels, big, big).astype(jnp.complex64)
-        x = jnp.abs(ifft2c(y))
+        y = vec.reshape(b, self._channels, big, big)
+        if _use_matmul():
+            xr, xi = ifft2c_pair(y.astype(jnp.float32))
+            x = jnp.sqrt(xr * xr + xi * xi)
+        else:
+            x = jnp.abs(ifft2c(y.astype(jnp.complex64)))
         return self._crop(x).reshape(b, -1)
 
     def proj(self, x_vec, y_vec, alpha_obs: float = 1.0, eps: float = 1e-8):
@@ -169,9 +229,16 @@ class PhaseRetrieval(Operator):
         b = x_vec.shape[0]
         big = self._img_dim + 2 * self._pad
         y = y_vec.reshape(b, self._channels, big, big) * np.sqrt(alpha_obs)
-        fx = fft2c(self._pad_img(self._to_img(x_vec)).astype(jnp.complex64))
-        fx_prox = fx * y / (jnp.abs(fx) + eps)
-        prox = jnp.real(self._crop(ifft2c(fx_prox)))
+        padded = self._pad_img(self._to_img(x_vec))
+        if _use_matmul():
+            fr, fi = fft2c_pair(padded.astype(jnp.float32))
+            mag = jnp.sqrt(fr * fr + fi * fi) + eps
+            pr, pi = fr * y / mag, fi * y / mag
+            prox = self._crop(ifft2c_pair(pr, pi)[0])
+        else:
+            fx = fft2c(padded.astype(jnp.complex64))
+            fx_prox = fx * y / (jnp.abs(fx) + eps)
+            prox = jnp.real(self._crop(ifft2c(fx_prox)))
         return prox.reshape(b, -1)
 
     def eq_var(self, var):

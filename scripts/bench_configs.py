@@ -89,6 +89,21 @@ def main():
     fuse = int(os.environ.get("BENCH_FUSE", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "2"))
 
+    # One process per tag: a failed compile/execute can poison the PJRT
+    # client (observed: after phase_t3's UNIMPLEMENTED, every subsequent
+    # compile in the same process failed the same way), so isolate tags
+    # unless we're the single-tag child.
+    if len(tags) > 1 and os.environ.get("BENCH_CFG_CHILD", "") != "1":
+        import subprocess
+        env = dict(os.environ, BENCH_CFG_CHILD="1")
+        for tag in tags:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                tag], env=env)
+            if r.returncode != 0:
+                _record({"tag": f"cfg-{tag}", "status": "error",
+                         "error": f"child exited rc={r.returncode}"})
+        return
+
     import jax
     import jax.numpy as jnp
     from nshmc_tpu.utils.profiling import enable_persistent_cache

@@ -289,3 +289,49 @@ def test_phase_retrieval_matmul_dft_grad():
         nl.set_fft_impl("auto")
     np.testing.assert_allclose(y_mm, y_ref, atol=2e-4)
     np.testing.assert_allclose(g_mm, g_ref, atol=2e-3)
+
+
+def test_fft_pair_lowering_complex_free():
+    """The real-pair DFT (the form actually lowered on complex-free TPU
+    runtimes) matches the complex implementation, and the full phase
+    operator surface (H, H_pinv, proj) agrees between lowerings while the
+    pair path's jaxpr contains no complex dtypes."""
+    from nshmc_tpu.operators import PhaseRetrieval
+    from nshmc_tpu.operators import nonlinear as nl
+
+    rng = np.random.default_rng(11)
+    xr = jnp.asarray(rng.normal(size=(2, 3, 12, 20)), jnp.float32)
+    xi = jnp.asarray(rng.normal(size=xr.shape), jnp.float32)
+    ref = nl.fft2c(xr + 1j * xi)
+    yr, yi = nl.fft2c_pair(xr, xi)
+    np.testing.assert_allclose(yr, ref.real, atol=2e-4)
+    np.testing.assert_allclose(yi, ref.imag, atol=2e-4)
+    ref_i = nl.ifft2c(xr + 1j * xi)
+    zr, zi = nl.ifft2c_pair(xr, xi)
+    np.testing.assert_allclose(zr, ref_i.real, atol=2e-4)
+    np.testing.assert_allclose(zi, ref_i.imag, atol=2e-4)
+    # real input shortcut
+    rr, ri = nl.fft2c_pair(xr)
+    ref_r = nl.fft2c(xr.astype(jnp.complex64))
+    np.testing.assert_allclose(rr, ref_r.real, atol=2e-4)
+    np.testing.assert_allclose(ri, ref_r.imag, atol=2e-4)
+
+    op = PhaseRetrieval.create(channels=1, img_dim=8, oversample=2.0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64)), jnp.float32)
+    try:
+        nl.set_fft_impl("fft")
+        y_ref = op.H(x)
+        pinv_ref = op.H_pinv(y_ref)
+        proj_ref = op.proj(x, y_ref)
+        nl.set_fft_impl("matmul")
+        y_mm = op.H(x)
+        pinv_mm = op.H_pinv(y_mm)
+        proj_mm = op.proj(x, y_mm)
+        jaxpr = str(jax.make_jaxpr(
+            lambda v: (op.proj(v, op.H(v)), op.H_pinv(op.H(v))))(x))
+        assert "complex" not in jaxpr, "pair path must lower complex-free"
+    finally:
+        nl.set_fft_impl("auto")
+    np.testing.assert_allclose(y_mm, y_ref, atol=2e-4)
+    np.testing.assert_allclose(pinv_mm, pinv_ref, atol=2e-4)
+    np.testing.assert_allclose(proj_mm, proj_ref, atol=2e-3)
