@@ -12,6 +12,14 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md); vs_baseline compares to
 our own recorded first-round number in BENCH_BASELINE.json when present,
 else 1.0.
+
+Measurement robustness (round 4): the timed loop runs in repetition blocks
+and takes the BEST block (the tunneled chip shares a host whose load can
+inflate wall-clock 2-3x; BASELINE.md round-1 correction #1). If the best
+block is still >1.3x slower than the best previously recorded number for
+the same config, the measurement retries and, failing that, annotates the
+JSON with host_load_suspected instead of silently recording garbage
+(VERDICT r3 weak #1).
 """
 import json
 import os
@@ -22,11 +30,17 @@ import numpy as np
 
 EVALS_PER_SAMPLE = 21 * 100  # (L+1) energy evals x (60 anneal + 40 burn/sample)
 
-_FUSE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "scripts", "bench_fuse_cache.json")
+_SCRIPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+_FUSE_CACHE = os.path.join(_SCRIPTS, "bench_fuse_cache.json")
+_PERF_RESULTS = os.path.join(_SCRIPTS, "perf_results.jsonl")
 # rough cold-compile scale factors vs the tiny probe (measured round 2/3:
 # tiny ~20 s, flagship fuse=4 ~183 s, fuse=8 ~505 s through the relay)
-_FUSE_COMPILE_FACTOR = {8: 25.0, 4: 9.0, 2: 5.0, 1: 3.0}
+_FUSE_COMPILE_FACTOR = {16: 27.0, 8: 25.0, 4: 9.0, 2: 5.0, 1: 3.0}
+# known-good flagship compiles through the relay (perf_results.jsonl rows
+# b8-chain8/b8-chain16: 200.4 s / 217.1 s) — seeds for shapes whose fuse
+# cache has no measurement yet; relay load can still push these to ~600 s,
+# which is why the default budget below leaves headroom.
+_FUSE_COMPILE_SEED = {"tpu_d256_b8": {16: 217.1, 8: 200.4, 4: 183.0}}
 
 
 def _fuse_cache_load():
@@ -37,9 +51,10 @@ def _fuse_cache_load():
         return {}
 
 
-def _fuse_cache_store(key, fuse, compile_s):
+def _fuse_cache_store(key, field, value):
     cache = _fuse_cache_load()
-    cache.setdefault(key, {})[str(fuse)] = round(compile_s, 1)
+    cache.setdefault(key, {})[str(field)] = (
+        round(value, 4) if isinstance(value, float) else value)
     try:
         with open(_FUSE_CACHE, "w") as f:
             json.dump(cache, f, indent=1)
@@ -49,10 +64,14 @@ def _fuse_cache_store(key, fuse, compile_s):
 
 def _auto_fuse(key, budget_s):
     """Pick the largest fuse whose cold compile fits budget_s: use measured
-    per-shape compile times when recorded, else probe-compile a tiny
-    program to gauge current relay load and extrapolate."""
+    per-shape compile times (fuse cache + seeded flagship history) when
+    recorded, else probe-compile a tiny program to gauge current relay load
+    and extrapolate (VERDICT r3 next-round #1a)."""
     rec = _fuse_cache_load().get(key, {})
-    measured = {int(k): v for k, v in rec.items() if k != "probe_s"}
+    measured = dict(_FUSE_COMPILE_SEED.get(key, {}))
+    for k, v in rec.items():
+        if k not in ("probe_s", "best_evals_per_s"):
+            measured[int(k)] = v
     for f in sorted(_FUSE_COMPILE_FACTOR, reverse=True):
         if f in measured and measured[f] <= budget_s:
             return f
@@ -64,6 +83,13 @@ def _auto_fuse(key, budget_s):
         if probe_s * _FUSE_COMPILE_FACTOR[f] <= budget_s:
             return f
     return 1
+
+
+def _best_recorded(key):
+    """Best evals/s previously recorded for this config key (fuse cache
+    `best_evals_per_s` field, written by every successful bench run)."""
+    v = _fuse_cache_load().get(key, {}).get("best_evals_per_s")
+    return float(v) if v else None
 
 
 def _probe_compile_s():
@@ -86,32 +112,76 @@ def _probe_compile_s():
                         jnp.zeros((1,)))
     sched = DiffusionSchedule.create(num_timesteps=1000)
     seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
-                          unroll=True)
-    vg = jax.value_and_grad(lambda x: jnp.sum(decode(x) ** 2))
 
-    def body(i, carry):
-        xc, acc = carry
-        v, g = vg(xc)
-        return (xc - 1e-6 * g, acc + v)
+    def loss(p, x):
+        decode = make_decoder(lambda xx, tt: model.apply(p, xx, tt), sched,
+                              seq, unroll=True)
+        return jnp.sum(decode(x) ** 2)
 
-    fn = jax.jit(lambda x: jax.lax.fori_loop(0, 8, body, (x, 0.0)))
+    vg = jax.value_and_grad(loss, argnums=1)
+
+    def fused(p, x):
+        def body(i, carry):
+            xc, acc = carry
+            v, g = vg(p, xc)
+            return (xc - 1e-6 * g, acc + v)
+        return jax.lax.fori_loop(0, 8, body, (x, 0.0))
+
+    fn = jax.jit(fused)
     x = jnp.zeros((8, 32, 32, 3), jnp.float32)
     t0 = time.time()
-    jax.block_until_ready(fn(x))
+    jax.block_until_ready(fn(params, x))
     return time.time() - t0
+
+
+def _measure_blocks(run_block, iters, fuse, batch, best_recorded,
+                    reps=3, max_retries=2, retry_sleep_s=15.0):
+    """Time `reps` repetition blocks of `iters` fused calls; per-eval time is
+    the MIN block (transient host load only ever slows a block down). If the
+    result is >1.3x off the best recorded number for this config, retry up
+    to `max_retries` more rounds before annotating host_load_suspected."""
+    import jax
+
+    def one_round(base):
+        times = []
+        for r in range(reps):
+            t0 = time.time()
+            out = run_block(base + r)
+            jax.block_until_ready(out)
+            times.append((time.time() - t0) / (iters * fuse))
+        return times
+
+    all_times = one_round(0)
+    retries = 0
+    while (best_recorded is not None
+           and batch / min(all_times) < best_recorded / 1.3
+           and retries < max_retries):
+        retries += 1
+        time.sleep(retry_sleep_s)
+        all_times += one_round(retries * reps)
+    best = min(all_times)
+    suspected = (best_recorded is not None
+                 and batch / best < best_recorded / 1.3)
+    return best, all_times, suspected, retries
 
 
 def main():
     batch = int(os.environ.get("BENCH_CHAINS", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
     tiny = os.environ.get("BENCH_TINY", "") == "1"
     norm_fp32 = os.environ.get("BENCH_NORM_FP32", "1") != "0"
     remat = os.environ.get("BENCH_REMAT", "big")
     # round-2 winners (A/B'd in scripts/perf_results.jsonl): per-channel
     # GroupNorm stats + statically unrolled 3-step DDIM ladder
     gn_impl = os.environ.get("BENCH_GN_IMPL", "chan")
-    unroll = os.environ.get("BENCH_UNROLL", "1") != "0"
+    timesteps = int(os.environ.get("BENCH_TIMESTEPS", "3"))
+    # ladder-form auto-select (VERDICT r3 next-round #7): unroll wins at
+    # t<=3 (+23% runtime, ~200-600 s compile) but its compile cost grows
+    # super-linearly with depth (t=5 unrolled: 1783.8 s,
+    # perf_results.jsonl cfg-inpaint_t5) — default to the scan ladder for
+    # deeper ladders unless explicitly overridden.
+    unroll_env = os.environ.get("BENCH_UNROLL", "auto")
+    unroll = (timesteps <= 3) if unroll_env == "auto" else unroll_env != "0"
     remat_min_res = int(os.environ.get("BENCH_REMAT_MIN_RES", "128"))
     save_gn_stats = os.environ.get("BENCH_SAVE_GN_STATS", "0") == "1"
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
@@ -120,7 +190,7 @@ def main():
     import jax
     from nshmc_tpu.utils.profiling import enable_persistent_cache
 
-    enable_persistent_cache()
+    cache_hit_probe = enable_persistent_cache()
     import jax.numpy as jnp
     from nshmc_tpu.models.unet import UNetConfig, UNetModel
     from nshmc_tpu.schedules import DiffusionSchedule, DDIMSequence
@@ -149,9 +219,7 @@ def main():
                         jnp.zeros((1,)))
 
     sched = DiffusionSchedule.create(num_timesteps=1000)
-    seq = DDIMSequence.create(1000, 3)
-    decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
-                          unroll=unroll)
+    seq = DDIMSequence.create(1000, timesteps)
 
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
@@ -160,7 +228,14 @@ def main():
     x_orig = jnp.asarray(rng.uniform(-1, 1, (1, d, d, 3)), jnp.float32)
     y0 = op.H_img(x_orig)[0]
 
-    def loss(x):
+    # Params are an explicit jit ARGUMENT (not a closure constant): closed-
+    # over weight pytrees get baked into the HLO as literal constants, which
+    # bloats the program shipped through the remote-compile relay and the
+    # persistent-cache executable (the latent program overflowed the relay's
+    # request limit this way — VERDICT r3 missing #1).
+    def loss(p, x):
+        decode = make_decoder(lambda xx, tt: model.apply(p, xx, tt), sched,
+                              seq, unroll=unroll)
         x0 = decode(x)
         r = y0[None] - op.H_img(x0)
         return jnp.sum(r**2)
@@ -171,33 +246,40 @@ def main():
     # the tunneled chip) is amortized. BENCH_FUSE=1 recovers the round-1
     # unfused measurement form; BENCH_FUSE=auto (default) picks the
     # largest fuse whose estimated cold-compile fits BENCH_COMPILE_BUDGET
-    # seconds (probe-compiles a tiny program to gauge relay load, caches
-    # the decision and measured compile times per shape).
+    # seconds, consulting measured compile history for this shape first
+    # (probe-compiles a tiny program to gauge relay load only when no
+    # history exists; caches decisions + measured compile times per shape).
     fuse_env = os.environ.get("BENCH_FUSE", "auto" if not tiny else "8")
-    vg = jax.value_and_grad(loss)
+    vg = jax.value_and_grad(loss, argnums=1)
     fuse_cache_key = f"{jax.default_backend()}_d{d}_b{batch}"
+    # non-default knobs get their own cache key (ADVICE r3: fuse-cache
+    # entries must not mix configs with different compile/runtime behavior)
+    knobs = (remat, gn_impl, unroll, save_gn_stats, remat_min_res, timesteps)
+    if knobs != ("big", "chan", True, False, 128, 3):
+        fuse_cache_key += "_" + "-".join(str(k) for k in knobs)
     if fuse_env == "auto":
         fuse = _auto_fuse(
             fuse_cache_key,
-            budget_s=float(os.environ.get("BENCH_COMPILE_BUDGET", "250")))
+            budget_s=float(os.environ.get("BENCH_COMPILE_BUDGET", "900")))
     else:
         fuse = int(fuse_env)
 
     if fuse > 1:
-        def body(i, carry):
-            xc, acc = carry
-            v, g = vg(xc)
-            return (xc - 1e-6 * g, acc + v)
+        def fused(p, x):
+            def body(i, carry):
+                xc, acc = carry
+                v, g = vg(p, xc)
+                return (xc - 1e-6 * g, acc + v)
+            return jax.lax.fori_loop(0, fuse, body, (x, 0.0))
 
-        energy_vg = jax.jit(
-            lambda x: jax.lax.fori_loop(0, fuse, body, (x, 0.0)))
+        energy_vg = jax.jit(fused)
     else:
         energy_vg = jax.jit(vg)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3), jnp.float32)
 
     t0 = time.time()
-    out = energy_vg(x)
+    out = energy_vg(params, x)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
     if not tiny:
@@ -206,18 +288,27 @@ def main():
     trace_dir = os.environ.get("BENCH_TRACE", "")
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    t0 = time.time()
-    for i in range(iters):
-        out = energy_vg(x + 1e-6 * i)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / (iters * fuse)
+
+    def run_block(salt):
+        for i in range(iters):
+            out = energy_vg(params, x + 1e-6 * (salt * iters + i))
+        return out
+
+    best_rec = _best_recorded(fuse_cache_key) if not tiny else None
+    dt, block_times, host_load_suspected, retries = _measure_blocks(
+        run_block, iters, fuse, batch, best_rec)
     if trace_dir:
         jax.profiler.stop_trace()
 
-    # one energy+grad = `batch` chain-evals; each is 3 U-Net fwd + 3 bwd
+    # one energy+grad = `batch` chain-evals; each is `timesteps` U-Net fwd+bwd
     evals_per_s = batch / dt
-    unet_fwd_per_s = evals_per_s * 3
+    unet_fwd_per_s = evals_per_s * timesteps
     samples_per_s = evals_per_s / EVALS_PER_SAMPLE
+
+    if not tiny and not host_load_suspected:
+        if best_rec is None or evals_per_s > best_rec:
+            _fuse_cache_store(fuse_cache_key, "best_evals_per_s",
+                              round(evals_per_s, 4))
 
     baseline = None
     try:
@@ -227,35 +318,62 @@ def main():
         pass
     vs_baseline = samples_per_s / baseline if baseline else 1.0
 
+    detail = {
+        "energy_grad_evals_per_s": round(evals_per_s, 4),
+        "unet_fwd_per_s": round(unet_fwd_per_s, 4),
+        "chains": batch,
+        "sec_per_energy_grad_batch": round(dt, 4),
+        "fused_evals_per_call": fuse,
+        "compile_s": round(compile_s, 1),
+        "block_times_s_per_eval": [round(t, 4) for t in block_times],
+        "timesteps": timesteps,
+        "norm_fp32": norm_fp32,
+        "remat": remat,
+        "remat_min_res": remat_min_res,
+        "gn_impl": gn_impl,
+        "unroll": unroll,
+        "save_gn_stats": save_gn_stats,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    if host_load_suspected:
+        detail["host_load_suspected"] = True
+        detail["best_recorded_evals_per_s"] = best_rec
+        detail["retries"] = retries
     print(json.dumps({
         "metric": "hmc_samples_per_s_per_chip_ffhq256_inpaint_t3",
         "value": round(samples_per_s, 6),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs_baseline, 4),
-        "detail": {
-            "energy_grad_evals_per_s": round(evals_per_s, 4),
-            "unet_fwd_per_s": round(unet_fwd_per_s, 4),
-            "chains": batch,
-            "sec_per_energy_grad_batch": round(dt, 4),
-            "fused_evals_per_call": fuse,
-            "compile_s": round(compile_s, 1),
-            "norm_fp32": norm_fp32,
-            "remat": remat,
-            "remat_min_res": remat_min_res,
-            "gn_impl": gn_impl,
-            "unroll": unroll,
-            "save_gn_stats": save_gn_stats,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
+    if not tiny:
+        try:
+            with open(_PERF_RESULTS, "a") as f:
+                f.write(json.dumps({
+                    "tag": "bench-flagship", "batch": batch, "fused_evals": fuse,
+                    "sec_per_eval": round(dt, 4),
+                    "evals_per_s": round(evals_per_s, 4),
+                    "compile_s": round(compile_s, 1),
+                    "host_load_suspected": host_load_suspected,
+                    "timesteps": timesteps, "unroll": unroll}) + "\n")
+        except Exception:
+            pass
 
 
 def latent_main(batch: int, iters: int, tiny: bool = False):
     """Latent flagship (BENCH_MODE=latent): hmc_latent energy+grad on the
     CelebA-HQ LDM config — 3-step latent DDIM (stop-grad eps-net, parity with
     ddpm.py:892) + differentiable VQ-f4 decode + inpainting residual at 256^2
-    (ref budget: main_sampling_latent.py:628-664)."""
+    (ref budget: main_sampling_latent.py:628-664).
+
+    Program-size discipline (the round-3 attempts died in the relay with
+    HTTP 413 / broken pipe — VERDICT r3 missing #1): params are jit
+    arguments (no weight constants in the HLO), the eps-net ladder defaults
+    to lax.scan (one U-Net body in the program instead of three), and on a
+    relay transport error the config backs off (smaller fuse, then smaller
+    batch) and annotates the fallback in the output.
+    """
     import jax
     import jax.numpy as jnp
     from nshmc_tpu.utils.profiling import enable_persistent_cache
@@ -283,50 +401,80 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
         zdim = 64
         d = 256
     seq = DDIMSequence.create(1000, 3)
-    decode_z = make_decoder(ldm.model_fn(stop_gradient=True), ldm.schedule, seq,
-                            unroll=True)
+    unroll = os.environ.get("BENCH_LATENT_UNROLL", "0") == "1"
     rng = np.random.default_rng(0)
     perm = rng.permutation(d * d)[: int(d * d * 0.92)]
     mr = 3 * perm
     op = Inpainting.create(3, d, np.sort(np.concatenate([mr, mr + 1, mr + 2])))
     y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
 
-    def loss(z):
+    import dataclasses as _dc
+
+    def loss(unet_params, ae_params, z):
+        l = _dc.replace(ldm, unet_params=unet_params,
+                        first_stage_params=ae_params)
+        decode_z = make_decoder(l.model_fn(stop_gradient=True), l.schedule,
+                                seq, unroll=unroll)
         z0 = decode_z(z)
-        x0 = ldm.decode_first_stage(z0)
+        x0 = l.decode_first_stage(z0)
         r = y0[None] - op.H_img(x0)
         return jnp.sum(r**2)
 
+    vg = jax.value_and_grad(loss, argnums=2)
+
     # same fused measurement form as the pixel path: the latent HMC engine
     # runs L=20 evals per attempt inside one device program, so per-call
-    # dispatch (~75 ms tunneled) must be amortized to measure honestly
-    fuse = int(os.environ.get("BENCH_FUSE", "8"))
-    vg = jax.value_and_grad(loss)
-    if fuse > 1:
-        def body(i, carry):
-            zc, acc = carry
-            v, g = vg(zc)
-            return (zc - 1e-6 * g, acc + v)
+    # dispatch (~75 ms tunneled) must be amortized; backoff ladder shrinks
+    # the program / batch if the relay rejects it
+    fuse0 = int(os.environ.get("BENCH_FUSE", "4"))
+    attempts = [(fuse0, batch), (max(1, fuse0 // 2), batch),
+                (1, batch), (1, max(1, batch // 2))]
+    seen = set()
+    attempts = [a for a in attempts if not (a in seen or seen.add(a))]
 
-        energy_vg = jax.jit(
-            lambda z: jax.lax.fori_loop(0, fuse, body, (z, 0.0)))
+    last_err = None
+    for fuse, b in attempts:
+        if fuse > 1:
+            def fused(up, ap, z, _fuse=fuse):
+                def body(i, carry):
+                    zc, acc = carry
+                    v, g = vg(up, ap, zc)
+                    return (zc - 1e-6 * g, acc + v)
+                return jax.lax.fori_loop(0, _fuse, body, (z, 0.0))
+
+            energy_vg = jax.jit(fused)
+        else:
+            energy_vg = jax.jit(vg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (b, zdim, zdim, 3),
+                              jnp.float32)
+        try:
+            t0 = time.time()
+            out = energy_vg(ldm.unet_params, ldm.first_stage_params, z)
+            jax.block_until_ready(out)
+            compile_s = time.time() - t0
+
+            def run_block(salt):
+                for i in range(iters):
+                    out = energy_vg(ldm.unet_params, ldm.first_stage_params,
+                                    z + 1e-6 * (salt * iters + i))
+                return out
+
+            dt, block_times, _, _ = _measure_blocks(
+                run_block, iters, fuse, b, best_recorded=None)
+            break
+        except Exception as e:  # relay transport / OOM: back off
+            last_err = e
+            continue
     else:
-        energy_vg = jax.jit(vg)
-    z = jax.random.normal(jax.random.PRNGKey(1), (batch, zdim, zdim, 3),
-                          jnp.float32)
+        print(json.dumps({
+            "metric": "hmc_latent_samples_per_s_per_chip_celebahq256_inpaint_t3",
+            "value": 0.0, "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "detail": {"status": "error",
+                       "error": f"{type(last_err).__name__}: {str(last_err)[:300]}"},
+        }))
+        return 1
 
-    t0 = time.time()
-    out = energy_vg(z)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    for i in range(iters):
-        out = energy_vg(z + 1e-6 * i)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / (iters * fuse)
-
-    evals_per_s = batch / dt
+    evals_per_s = b / dt
     # latent budget: 70 attempts x (L+1)=21 evals (BASELINE.md)
     samples_per_s = evals_per_s / (70 * 21)
     print(json.dumps({
@@ -336,10 +484,12 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
         "vs_baseline": 1.0,
         "detail": {
             "energy_grad_evals_per_s": round(evals_per_s, 4),
-            "chains": batch,
+            "chains": b,
             "sec_per_energy_grad_batch": round(dt, 4),
             "fused_evals_per_call": fuse,
             "compile_s": round(compile_s, 1),
+            "block_times_s_per_eval": [round(t, 4) for t in block_times],
+            "unroll": unroll,
             "backend": jax.default_backend(),
         },
     }))

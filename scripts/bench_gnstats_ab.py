@@ -27,20 +27,34 @@ def run(tag, save_gn):
         "BENCH_FUSE": os.environ.get("AB_FUSE", "4"),
         "BENCH_SAVE_GN_STATS": "1" if save_gn else "0",
     })
-    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, text=True, timeout=3000)
+    try:
+        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           timeout=3000)
+    except subprocess.TimeoutExpired as e:
+        rec = {"tag": tag, "status": "error",
+               "error": f"timeout after {e.timeout}s"}
+        print(json.dumps(rec), flush=True)
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
     line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-    if not line:
+    rec = None
+    if line:
+        try:
+            d = json.loads(line[-1])["detail"]
+            rec = {"tag": tag, "batch": d["chains"], "fused_evals":
+                   d["fused_evals_per_call"],
+                   "sec_per_eval": d["sec_per_energy_grad_batch"],
+                   "evals_per_s": d["energy_grad_evals_per_s"],
+                   "compile_s": d["compile_s"], "save_gn_stats": save_gn,
+                   "remat": d["remat"], "gn_impl": d["gn_impl"]}
+        except (json.JSONDecodeError, KeyError, TypeError) as e:
+            rec = {"tag": tag, "status": "error",
+                   "error": f"unparseable output ({e}): {line[-1][:300]}"}
+    if rec is None:
         rec = {"tag": tag, "status": "error",
                "error": (p.stderr or "no output")[-500:]}
-    else:
-        d = json.loads(line[-1])["detail"]
-        rec = {"tag": tag, "batch": d["chains"], "fused_evals":
-               d["fused_evals_per_call"],
-               "sec_per_eval": d["sec_per_energy_grad_batch"],
-               "evals_per_s": d["energy_grad_evals_per_s"],
-               "compile_s": d["compile_s"], "save_gn_stats": save_gn,
-               "remat": d["remat"], "gn_impl": d["gn_impl"]}
     print(json.dumps(rec), flush=True)
     with open(RESULTS, "a") as f:
         f.write(json.dumps(rec) + "\n")

@@ -18,18 +18,32 @@ if __name__ == "__main__":
     env["BENCH_MODE"] = "latent"
     if len(sys.argv) > 1:
         env["BENCH_ITERS"] = sys.argv[1]
-    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, text=True, timeout=3600)
+    try:
+        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           timeout=3600)
+    except subprocess.TimeoutExpired as e:
+        rec = {"tag": "cfg-latent_hmc", "status": "error",
+               "error": f"timeout after {e.timeout}s"}
+        print(json.dumps(rec), flush=True)
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        sys.exit(1)
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-    if not lines:
+    rec = None
+    if lines:
+        try:
+            out = json.loads(lines[-1])
+            rec = {"tag": "cfg-latent_hmc", "metric": out["metric"],
+                   "value": out["value"], "unit": out["unit"],
+                   **{k: v for k, v in out.get("detail", {}).items()
+                      if k not in ("device",)}}
+        except (json.JSONDecodeError, KeyError, TypeError) as e:
+            rec = {"tag": "cfg-latent_hmc", "status": "error",
+                   "error": f"unparseable output ({e}): {lines[-1][:300]}"}
+    if rec is None:
         rec = {"tag": "cfg-latent_hmc", "status": "error",
                "error": (p.stderr or "no output")[-800:]}
-    else:
-        out = json.loads(lines[-1])
-        rec = {"tag": "cfg-latent_hmc", "metric": out["metric"],
-               "value": out["value"], "unit": out["unit"],
-               **{k: v for k, v in out.get("detail", {}).items()
-                  if k not in ("device",)}}
     print(json.dumps(rec), flush=True)
     with open(RESULTS, "a") as f:
         f.write(json.dumps(rec) + "\n")

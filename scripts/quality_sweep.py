@@ -108,6 +108,10 @@ def worker_main(combos, timeout):
     signal.signal(signal.SIGALRM, _alarm)
 
     for algo, deg in combos:
+        # test hook (tests/test_quality_sweep_robustness.py): simulate a
+        # worker dying mid-slice (OOM/segfault) before this combo runs
+        if os.environ.get("QUALITY_SWEEP_TEST_DIE") == f"{algo}:{deg}":
+            os._exit(137)
         t0 = time.time()
         rec = {"algo": algo, "deg": deg}
         buf = io.StringIO()
@@ -206,10 +210,16 @@ def render_matrix(results):
 
 
 def write_outputs(results):
-    out_path = os.path.join(ROOT, "scripts", "quality_sweep.json")
+    # QUALITY_SWEEP_OUT redirects the JSON (and skips the RESULTS.md
+    # rewrite) so tests can run the sweep without touching repo artifacts
+    out_override = os.environ.get("QUALITY_SWEEP_OUT", "")
+    out_path = out_override or os.path.join(ROOT, "scripts",
+                                            "quality_sweep.json")
     with open(out_path, "w") as f:
         json.dump(sorted(results, key=lambda r: (r["algo"], r["deg"])), f,
                   indent=1)
+    if out_override:
+        return
     matrix = render_matrix(results)
     n_ok = sum(r["status"] == "ok" for r in results)
     n_na = sum(r["status"] == "n/a" for r in results)
@@ -298,8 +308,9 @@ def main():
             if not sl:
                 continue
             spec = ",".join(f"{a}:{d}" for a, d in sl)
-            errpath = os.path.join(ROOT, "scripts",
-                                   f"quality_sweep_worker{wi}.stderr")
+            errdir = (os.path.dirname(os.environ.get("QUALITY_SWEEP_OUT", ""))
+                      or os.path.join(ROOT, "scripts"))
+            errpath = os.path.join(errdir, f"quality_sweep_worker{wi}.stderr")
             procs.append((subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--worker-combos", spec, "--timeout", str(args.timeout)],

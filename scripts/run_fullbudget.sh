@@ -17,7 +17,7 @@ if [ "$mode" = "pixel" ]; then
     --tau 1.0 --epsilon 0.05 --sigma_0 0.05 \
     --hmc_epochs 60 --hmc_sampling 20 --chains 8 \
     --driver observed --verbose --save_epochs --diagnostics \
-    --checkpoint-dir out/r3_fullbudget_ck -i out/r3_fullbudget \
+    --checkpoint-dir out/r4_fullbudget_ck -i out/r4_fullbudget \
     --seed 1234
 else
   exec python -m nshmc_tpu.cli \
@@ -26,6 +26,6 @@ else
     --tau 1.0 --epsilon 0.05 --sigma_0 0.05 \
     --latent_epochs 50 --latent_sampling 10 --chains 8 \
     --verbose --save_epochs \
-    --checkpoint-dir out/r3_fullbudget_latent_ck -i out/r3_fullbudget_latent \
+    --checkpoint-dir out/r4_fullbudget_latent_ck -i out/r4_fullbudget_latent \
     --seed 1234
 fi
