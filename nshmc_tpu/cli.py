@@ -312,11 +312,19 @@ def run_pixel(opt):
 
                 ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")
                          if opt.checkpoint_dir else "")
+                # weights as jit args (not closure constants): keeps the
+                # per-attempt program small through remote-compile relays
+                loss_builder = lambda p, y_: make_pixel_loss_fn(
+                    make_decoder(lambda x, t: model.apply(p, x, t),
+                                 sched, seq, unroll=opt.timesteps <= 8),
+                    operator, y_)
                 out = run_hmc_observed(
                     loss_fn, hmc_cfg, states,
                     callback=report
                     if (opt.verbose or opt.save_epochs) else None,
                     checkpoint_dir=ckdir,
+                    loss_builder=loss_builder,
+                    loss_args=(params, y0[0]),
                 )
                 if trail["epoch"] and own_artifacts:
                     with open(os.path.join(opt.image_folder,

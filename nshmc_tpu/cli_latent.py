@@ -183,10 +183,28 @@ def run_latent(opt):
 
                 ckdir = (os.path.join(opt.checkpoint_dir, f"img{idx}")
                          if opt.checkpoint_dir else "")
+
+                # LDM weights as jit args, not closure constants (the
+                # constants path overflowed the relay request limit)
+                def loss_builder(unet_params, ae_params, y_):
+                    def model_fn(z, t):
+                        o = ldm.unet.apply(unet_params, z, t)
+                        return jax.lax.stop_gradient(o) if stop_grad else o
+
+                    dec_z = make_decoder(model_fn, ldm.schedule, seq,
+                                         unroll=opt.timesteps <= 8)
+                    dec_x = lambda z: ldm.first_stage.apply(
+                        ae_params, z / ldm.scale_factor,
+                        method=type(ldm.first_stage).decode)
+                    return make_latent_loss_fn(dec_z, dec_x, operator, y_)
+
                 out = run_latent_hmc_observed(
                     loss_fn, hmc_cfg, states,
                     callback=report if opt.verbose else None,
                     checkpoint_dir=ckdir,
+                    loss_builder=loss_builder,
+                    loss_args=(ldm.unet_params, ldm.first_stage_params,
+                               y0[0]),
                 )
             else:
                 out = jax.jit(

@@ -300,16 +300,30 @@ def run_hmc_observed(
     callback=None,
     checkpoint_dir: str = "",
     checkpoint_every: int = 10,
+    loss_builder=None,
+    loss_args=(),
 ):
     """Host-observed multi-chain HMC: a Python loop over jitted lockstep
     attempt rounds, invoking `callback(states, round)` after each round (for
     per-epoch progress prints mirroring main_sampling.py:733-742) and
     snapshotting chain state every `checkpoint_every` rounds (resume
     supported). Slower than `run_hmc` (one host sync per round) — use for
-    interactive runs; the jitted driver for production."""
+    interactive runs; the jitted driver for production.
+
+    With `loss_builder`/`loss_args`, the loss is rebuilt inside jit from
+    explicit array arguments (`loss_builder(*loss_args) -> loss_fn`) so
+    model weights are jit ARGUMENTS rather than closure constants — a
+    closed-over weight pytree gets baked into the HLO as literals, which
+    bloats the program shipped through remote-compile relays and the
+    persistent-cache executable (`loss_fn` is ignored then)."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
 
-    attempt = jax.jit(jax.vmap(lambda s: hmc_attempt(loss_fn, cfg, s)))
+    if loss_builder is not None:
+        base = jax.jit(lambda la, s: jax.vmap(
+            lambda si: hmc_attempt(loss_builder(*la), cfg, si))(s))
+        attempt = lambda s: base(loss_args, s)
+    else:
+        attempt = jax.jit(jax.vmap(lambda s: hmc_attempt(loss_fn, cfg, s)))
 
     start_round = 0
     if checkpoint_dir:

@@ -168,6 +168,8 @@ def run_latent_hmc_observed(
     callback=None,
     checkpoint_dir: str = "",
     checkpoint_every: int = 10,
+    loss_builder=None,
+    loss_args=(),
 ) -> LatentChainState:
     """Host-observed latent HMC: a Python loop over jitted lockstep attempt
     rounds (one device call per attempt, ~L+1 energy evals each), invoking
@@ -175,10 +177,22 @@ def run_latent_hmc_observed(
     per-attempt prints (main_sampling_latent.py:655-688) — and snapshotting
     chain state every `checkpoint_every` rounds for resume. Required on
     tunneled single-chip setups whose relay kills long device executions;
-    on normal deployments prefer the jitted `run_latent_hmc`."""
+    on normal deployments prefer the jitted `run_latent_hmc`.
+
+    `loss_builder`/`loss_args` (see engine.run_hmc_observed): rebuild the
+    loss inside jit from explicit array args so the LDM weight pytrees
+    (~1 GB fp32) are jit arguments, NOT closure constants baked into the
+    HLO — the constants path overflowed the remote-compile relay's request
+    limit (HTTP 413) on the tunneled chip."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
 
-    attempt = jax.jit(jax.vmap(lambda s: latent_hmc_attempt(loss_fn, cfg, s)))
+    if loss_builder is not None:
+        base = jax.jit(lambda la, s: jax.vmap(
+            lambda si: latent_hmc_attempt(loss_builder(*la), cfg, si))(s))
+        attempt = lambda s: base(loss_args, s)
+    else:
+        attempt = jax.jit(
+            jax.vmap(lambda s: latent_hmc_attempt(loss_fn, cfg, s)))
 
     start_round = 0
     if checkpoint_dir:
