@@ -426,8 +426,10 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
     def loss(unet_params, ae_params, z):
         l = _dc.replace(ldm, unet_params=unet_params,
                         first_stage_params=ae_params)
+        # stop-grad eps ladder: scan_remat off (it would recompute eps-net
+        # forwards in backward for residuals the stop-grad path never uses)
         decode_z = make_decoder(l.model_fn(stop_gradient=True), l.schedule,
-                                seq, unroll=unroll)
+                                seq, unroll=unroll, scan_remat=False)
         z0 = decode_z(z)
         x0 = l.decode_first_stage(z0)
         r = y0[None] - op.H_img(x0)

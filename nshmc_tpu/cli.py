@@ -104,12 +104,32 @@ def get_parser():
                         "'auto' picks observed on an axon tunnel.")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--unroll_ladder", default="auto",
+                   choices=["auto", "0", "1"],
+                   help="DDIM ladder form: statically unrolled (1) vs "
+                        "lax.scan + per-step remat (0). auto = unroll only "
+                        "for timesteps<=3 — measured tradeoff at t=5: "
+                        "unrolled 0.35 s/eval but 1784 s relay compile, "
+                        "scan 0.50 s/eval at 49-294 s compile (break-even "
+                        "~10k evals; perf_results.jsonl)")
     return p
 
 
 def load_config(path):
     with open(path) as f:
         return yaml.safe_load(f)
+
+
+def ladder_unroll(opt) -> bool:
+    """DDIM ladder form auto-select (VERDICT r3 item 7): statically
+    unrolled wins at runtime (+23% at t=3, +43% at t=5) but its compile
+    cost grows super-linearly with depth (t=5: 1784 s through the relay vs
+    49-294 s for the scan+remat ladder; scripts/perf_results.jsonl) —
+    unroll only short ladders unless --unroll_ladder overrides."""
+    mode = getattr(opt, "unroll_ladder", "auto")
+    if mode == "auto":
+        return opt.timesteps <= 3
+    return mode == "1"
 
 
 def _allgather_chain_axis(mh, arr):
@@ -177,7 +197,7 @@ def run_pixel(opt):
     # statically unroll short DDIM ladders: +23% flagship energy+grad on
     # TPU (no scan state slicing, cross-step fusion); long ladders keep the
     # scan to bound HLO size / compile time
-    decode = make_decoder(model_fn, sched, seq, unroll=opt.timesteps <= 8)
+    decode = make_decoder(model_fn, sched, seq, unroll=ladder_unroll(opt))
 
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0  # [-1,1] range scaling (main_sampling.py:348)
@@ -253,7 +273,7 @@ def run_pixel(opt):
 
                 builder = lambda p, op_, y_: make_pixel_loss_fn(
                     make_decoder(lambda x, t: model.apply(p, x, t),
-                                 sched, seq, unroll=opt.timesteps <= 8),
+                                 sched, seq, unroll=ladder_unroll(opt)),
                     op_, y_)
                 if multiproc:
                     # --chains is the GLOBAL count; each process seeds its
@@ -316,7 +336,7 @@ def run_pixel(opt):
                 # per-attempt program small through remote-compile relays
                 loss_builder = lambda p, y_: make_pixel_loss_fn(
                     make_decoder(lambda x, t: model.apply(p, x, t),
-                                 sched, seq, unroll=opt.timesteps <= 8),
+                                 sched, seq, unroll=ladder_unroll(opt)),
                     operator, y_)
                 out = run_hmc_observed(
                     loss_fn, hmc_cfg, states,
@@ -471,7 +491,7 @@ def _run_pixel_hmc_batched(opt, cfg, model, params, sched, seq, operator,
     d = cfg["data"]["image_size"]
     c = cfg["data"]["channels"]
     decode = make_decoder(lambda x, t: model.apply(params, x, t), sched, seq,
-                          unroll=opt.timesteps <= 8)
+                          unroll=ladder_unroll(opt))
     hmc_cfg = HMCConfig(sigma_0=sigma_0, tau=opt.tau, epsilon=opt.epsilon,
                         m=opt.m, epochs=opt.hmc_epochs,
                         sampling=opt.hmc_sampling)

@@ -41,7 +41,7 @@ def run_latent(opt):
         LatentHMCConfig, init_latent_chains, run_latent_hmc,
         make_latent_loss_fn,
     )
-    from .cli import load_config
+    from .cli import load_config, ladder_unroll
     from .utils import images as im
     from .utils.metrics import psnr, ssim, RunningStats
 
@@ -93,8 +93,12 @@ def run_latent(opt):
 
     seq = DDIMSequence.create(cfg["model"]["timesteps"], opt.timesteps)
     stop_grad = not getattr(opt, "latent_full_grad", False)
+    # scan_remat only pays when gradients flow through the eps-net (with the
+    # parity stop-grad ladder it would recompute the eps-net forwards in
+    # backward for residuals nothing needs)
     decode_z = make_decoder(ldm.model_fn(stop_gradient=stop_grad),
-                            ldm.schedule, seq, unroll=opt.timesteps <= 8)
+                            ldm.schedule, seq, unroll=ladder_unroll(opt),
+                            scan_remat=not stop_grad)
 
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0
@@ -149,7 +153,8 @@ def run_latent(opt):
                         out = ldm_r.unet.apply(unet_params, z, t)
                         return jax.lax.stop_gradient(out) if stop_grad else out
 
-                    dec_z = _mk(model_fn, ldm_r.schedule, seq)
+                    dec_z = _mk(model_fn, ldm_r.schedule, seq,
+                                scan_remat=not stop_grad)
                     dec_x = lambda z: ldm_r.first_stage.apply(
                         ae_params, z / ldm_r.scale_factor,
                         method=type(ldm_r.first_stage).decode)
@@ -192,7 +197,8 @@ def run_latent(opt):
                         return jax.lax.stop_gradient(o) if stop_grad else o
 
                     dec_z = make_decoder(model_fn, ldm.schedule, seq,
-                                         unroll=opt.timesteps <= 8)
+                                         unroll=ladder_unroll(opt),
+                                         scan_remat=not stop_grad)
                     dec_x = lambda z: ldm.first_stage.apply(
                         ae_params, z / ldm.scale_factor,
                         method=type(ldm.first_stage).decode)

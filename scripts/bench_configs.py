@@ -48,36 +48,42 @@ def _run_one(tag, batch, fuse, iters, model, params, sched, d):
 
     deg, t = CONFIGS[tag]
     seq = DDIMSequence.create(1000, t)
-    decode = make_decoder(lambda x, tt: model.apply(params, x, tt),
-                          sched, seq, unroll=True)
+    # unroll short ladders only; t=5 unrolled cost 1783.8 s of relay
+    # compile (perf_results.jsonl cfg-inpaint_t5) vs the scan ladder
+    unroll = t <= 3
     op = build_operator(deg, 3, d, np.random.default_rng(0))
     y0 = op.H_img(jnp.zeros((1, d, d, 3)))[0]
 
-    def loss(x):
+    # params as jit args, not closure constants (see bench.py)
+    def loss(p, x):
+        decode = make_decoder(lambda xx, tt: model.apply(p, xx, tt),
+                              sched, seq, unroll=unroll)
         r = y0[None] - op.H_img(decode(x))
         return jnp.sum(jnp.abs(r) ** 2)
 
-    vg = jax.value_and_grad(loss)
+    vg = jax.value_and_grad(loss, argnums=1)
 
-    def body(i, carry):
-        xc, acc = carry
-        v, g = vg(xc)
-        return (xc - 1e-6 * g, acc + v)
+    def fused(p, x):
+        def body(i, carry):
+            xc, acc = carry
+            v, g = vg(p, xc)
+            return (xc - 1e-6 * g, acc + v)
+        return jax.lax.fori_loop(0, fuse, body, (x, 0.0))
 
-    fn = jax.jit(lambda x: jax.lax.fori_loop(0, fuse, body, (x, 0.0)))
+    fn = jax.jit(fused)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, d, d, 3),
                           jnp.float32)
     t0 = time.time()
-    out = fn(x)
+    out = fn(params, x)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
     t0 = time.time()
     for i in range(iters):
-        out = fn(x + 1e-6 * i)
+        out = fn(params, x + 1e-6 * i)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / (iters * fuse)
     _record({"tag": f"cfg-{tag}", "deg": deg, "timesteps": t,
-             "batch": batch, "fused_evals": fuse,
+             "batch": batch, "fused_evals": fuse, "unroll": unroll,
              "sec_per_eval": round(dt, 4),
              "chain_evals_per_s": round(batch / dt, 3),
              "compile_s": round(compile_s, 1)})
