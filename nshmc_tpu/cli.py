@@ -104,6 +104,10 @@ def get_parser():
                         "'auto' picks observed on an axon tunnel.")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--data_path", default="",
+                   help="override the config's data.path (e.g. run the "
+                        "latent CelebA-HQ config against the shipped FFHQ "
+                        "test images when CelebA-HQ is unobtainable)")
     p.add_argument("--unroll_ladder", default="auto",
                    choices=["auto", "0", "1"],
                    help="DDIM ladder form: statically unrolled (1) vs "
@@ -204,7 +208,9 @@ def run_pixel(opt):
 
     from .parallel import multihost as mh
 
-    files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
+    files = im.list_dataset(
+        getattr(opt, "data_path", "") or cfg["data"]["path"]
+    )[opt.subset_start:opt.subset_end]
     indexed_files = list(enumerate(files))
     multiproc = mh.process_count() > 1
     # Multi-host work decomposition: with a sharded chain mesh every process

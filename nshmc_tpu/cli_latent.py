@@ -103,7 +103,9 @@ def run_latent(opt):
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0
 
-    files = im.list_dataset(cfg["data"]["path"])[opt.subset_start:opt.subset_end]
+    files = im.list_dataset(
+        getattr(opt, "data_path", "") or cfg["data"]["path"]
+    )[opt.subset_start:opt.subset_end]
     os.makedirs(opt.image_folder, exist_ok=True)
     stats = RunningStats()
     lpips_fn = None
@@ -220,10 +222,28 @@ def run_latent(opt):
             if z_samples.shape[0] == 0:
                 # no accepted post-anneal proposals: decode the final chain
                 # state instead of the (empty) sample ring — the reference
-                # would crash stacking an empty final_img_list (:760)
-                z_samples = np.asarray(jax.jit(decode_z)(out.z))
+                # would crash stacking an empty final_img_list (:760).
+                # params as jit args (closure constants overflow the relay)
+                def _ddim_args(unet_params, z):
+                    def model_fn(zz, t):
+                        o = ldm.unet.apply(unet_params, zz, t)
+                        return jax.lax.stop_gradient(o) if stop_grad else o
+
+                    return make_decoder(model_fn, ldm.schedule, seq,
+                                        unroll=ladder_unroll(opt),
+                                        scan_remat=False)(z)
+
+                z_samples = np.asarray(
+                    jax.jit(_ddim_args)(ldm.unet_params, out.z))
             z_samples = z_samples.reshape(-1, zd, zd, unet_cfg.in_channels)
-            decoded = ldm.decode_first_stage(jnp.asarray(z_samples))
+
+            def _decode_args(ae_params, z):
+                return ldm.first_stage.apply(
+                    ae_params, z / ldm.scale_factor,
+                    method=type(ldm.first_stage).decode)
+
+            decoded = jax.jit(_decode_args)(
+                ldm.first_stage_params, jnp.asarray(z_samples))
             samples = np.asarray(decoded)
         elif opt.algo == "resample":
             from .algos.resample import ReSample

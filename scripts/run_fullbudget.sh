@@ -20,8 +20,12 @@ if [ "$mode" = "pixel" ]; then
     --checkpoint-dir out/r4_fullbudget_ck -i out/r4_fullbudget \
     --seed 1234
 else
+  # CelebA-HQ images are unobtainable offline: run the CelebA-HQ LDM
+  # config against the shipped FFHQ 256^2 test set as measurement ground
+  # truth (--data_path override; the model/operator pipeline is identical)
   exec python -m nshmc_tpu.cli \
     --config configs/celebahq_latent.yaml \
+    --data_path /root/reference/exp/datasets/ffhq/samples_1k \
     --algo hmc_latent --deg inpaint_random --timesteps 3 \
     --tau 1.0 --epsilon 0.05 --sigma_0 0.05 \
     --latent_epochs 50 --latent_sampling 10 --chains 8 \
