@@ -53,8 +53,17 @@ def _fuse_cache_load():
 
 def _fuse_cache_store(key, field, value):
     cache = _fuse_cache_load()
-    cache.setdefault(key, {})[str(field)] = (
-        round(value, 4) if isinstance(value, float) else value)
+    rec = cache.setdefault(key, {})
+    if isinstance(value, float):
+        value = round(value, 4)
+    # compile-time entries (integer fuse fields) keep the BEST observed
+    # time: relay load varies compile cost ~10x for the same program
+    # (measured 95.9 s vs 976.8 s for the identical fuse-16 flagship), and
+    # a pessimistic entry would lock auto-fuse out of the winning fuse
+    # forever. best_evals_per_s keeps the max for the same reason.
+    if str(field).isdigit() and str(field) in rec:
+        value = min(value, rec[str(field)])
+    rec[str(field)] = value
     try:
         with open(_FUSE_CACHE, "w") as f:
             json.dump(cache, f, indent=1)
