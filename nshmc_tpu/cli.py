@@ -104,6 +104,11 @@ def get_parser():
                         "'auto' picks observed on an axon tunnel.")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--attempts_per_round", type=int, default=1,
+                   help="observed driver: fuse N MH attempts per device "
+                        "dispatch (amortizes per-round host syncs on "
+                        "tunneled chips; statistics unchanged, callback/"
+                        "checkpoint granularity coarsens)")
     p.add_argument("--data_path", default="",
                    help="override the config's data.path (e.g. run the "
                         "latent CelebA-HQ config against the shipped FFHQ "
@@ -351,6 +356,7 @@ def run_pixel(opt):
                     checkpoint_dir=ckdir,
                     loss_builder=loss_builder,
                     loss_args=(params, y0[0]),
+                    attempts_per_round=getattr(opt, "attempts_per_round", 1),
                 )
                 if trail["epoch"] and own_artifacts:
                     with open(os.path.join(opt.image_folder,

@@ -213,6 +213,7 @@ def run_latent(opt):
                     loss_builder=loss_builder,
                     loss_args=(ldm.unet_params, ldm.first_stage_params,
                                y0[0]),
+                    attempts_per_round=getattr(opt, "attempts_per_round", 1),
                 )
             else:
                 out = jax.jit(

@@ -302,6 +302,7 @@ def run_hmc_observed(
     checkpoint_every: int = 10,
     loss_builder=None,
     loss_args=(),
+    attempts_per_round: int = 1,
 ):
     """Host-observed multi-chain HMC: a Python loop over jitted lockstep
     attempt rounds, invoking `callback(states, round)` after each round (for
@@ -315,15 +316,37 @@ def run_hmc_observed(
     model weights are jit ARGUMENTS rather than closure constants — a
     closed-over weight pytree gets baked into the HLO as literals, which
     bloats the program shipped through remote-compile relays and the
-    persistent-cache executable (`loss_fn` is ignored then)."""
+    persistent-cache executable (`loss_fn` is ignored then).
+
+    `attempts_per_round` > 1 fuses that many MH attempts into one device
+    program (fori_loop), amortizing per-round dispatch + callback host
+    syncs on tunneled chips (measured ~1.6x overhead at 1 attempt/round,
+    RESULTS.md round 4). Chains that reach their epoch budget mid-program
+    freeze in place (same masking the host loop applies between rounds),
+    so sampler statistics are UNCHANGED; only the callback/checkpoint
+    granularity coarsens."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
 
-    if loss_builder is not None:
-        base = jax.jit(lambda la, s: jax.vmap(
-            lambda si: hmc_attempt(loss_builder(*la), cfg, si))(s))
-        attempt = lambda s: base(loss_args, s)
-    else:
-        attempt = jax.jit(jax.vmap(lambda s: hmc_attempt(loss_fn, cfg, s)))
+    apr = max(1, int(attempts_per_round))
+
+    def one_attempt(lf, s):
+        """One guarded attempt: completed chains pass through untouched."""
+        s2 = hmc_attempt(lf, cfg, s)
+        done = s.epoch >= cfg.total_epochs
+        return jax.tree.map(lambda new, old: jnp.where(done, old, new), s2, s)
+
+    def round_fn(la, s):
+        lf = loss_builder(*la) if loss_builder is not None else loss_fn
+
+        def body(i, ss):
+            return jax.vmap(lambda si: one_attempt(lf, si))(ss)
+
+        if apr == 1:
+            return body(0, s)
+        return jax.lax.fori_loop(0, apr, body, s)
+
+    base = jax.jit(round_fn)
+    attempt = lambda s: base(loss_args, s)
 
     start_round = 0
     if checkpoint_dir:
@@ -332,21 +355,16 @@ def run_hmc_observed(
             states = jax.tree.map(jnp.asarray, restored)
             start_round = int(jnp.max(states.attempts))
 
-    for rnd in range(start_round, cfg.max_attempts):
+    rnd = start_round
+    while rnd < cfg.max_attempts:
         if bool(jnp.all(states.epoch >= cfg.total_epochs)):
             break
-        prev = states
-        new_states = attempt(states)
-        done = prev.epoch >= cfg.total_epochs
-        states = jax.tree.map(
-            lambda new, old: jnp.where(
-                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
-            ),
-            new_states, prev,
-        )
+        states = attempt(states)
+        rnd += apr
         if callback is not None:
-            callback(states, rnd)
-        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            callback(states, rnd - 1)
+        if checkpoint_dir and (
+                (rnd - start_round) // apr) % max(1, checkpoint_every // apr) == 0:
             save_chain_state(checkpoint_dir, states, step=0)
     if checkpoint_dir:
         save_chain_state(checkpoint_dir, states, step=0)

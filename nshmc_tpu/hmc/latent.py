@@ -170,6 +170,7 @@ def run_latent_hmc_observed(
     checkpoint_every: int = 10,
     loss_builder=None,
     loss_args=(),
+    attempts_per_round: int = 1,
 ) -> LatentChainState:
     """Host-observed latent HMC: a Python loop over jitted lockstep attempt
     rounds (one device call per attempt, ~L+1 energy evals each), invoking
@@ -186,13 +187,26 @@ def run_latent_hmc_observed(
     limit (HTTP 413) on the tunneled chip."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
 
-    if loss_builder is not None:
-        base = jax.jit(lambda la, s: jax.vmap(
-            lambda si: latent_hmc_attempt(loss_builder(*la), cfg, si))(s))
-        attempt = lambda s: base(loss_args, s)
-    else:
-        attempt = jax.jit(
-            jax.vmap(lambda s: latent_hmc_attempt(loss_fn, cfg, s)))
+    apr = max(1, int(attempts_per_round))
+
+    def one_attempt(lf, s):
+        """One guarded attempt: chains past the fixed budget freeze."""
+        s2 = latent_hmc_attempt(lf, cfg, s)
+        done = s.attempt >= cfg.total_attempts
+        return jax.tree.map(lambda new, old: jnp.where(done, old, new), s2, s)
+
+    def round_fn(la, s):
+        lf = loss_builder(*la) if loss_builder is not None else loss_fn
+
+        def body(i, ss):
+            return jax.vmap(lambda si: one_attempt(lf, si))(ss)
+
+        if apr == 1:
+            return body(0, s)
+        return jax.lax.fori_loop(0, apr, body, s)
+
+    base = jax.jit(round_fn)
+    attempt = lambda s: base(loss_args, s)
 
     start_round = 0
     if checkpoint_dir:
@@ -201,11 +215,14 @@ def run_latent_hmc_observed(
             states = jax.tree.map(jnp.asarray, restored)
             start_round = int(jnp.max(states.attempt))
 
-    for rnd in range(start_round, cfg.total_attempts):
+    rnd = start_round
+    while rnd < cfg.total_attempts:
         states = attempt(states)
+        rnd += apr
         if callback is not None:
-            callback(states, rnd)
-        if checkpoint_dir and (rnd + 1) % checkpoint_every == 0:
+            callback(states, rnd - 1)
+        if checkpoint_dir and (
+                (rnd - start_round) // apr) % max(1, checkpoint_every // apr) == 0:
             save_chain_state(checkpoint_dir, states, step=0)
     if checkpoint_dir:
         save_chain_state(checkpoint_dir, states, step=0)

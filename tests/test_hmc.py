@@ -282,3 +282,33 @@ def test_observed_resume_heterogeneous_chains(tmp_path):
             continue
         np.testing.assert_array_equal(np.asarray(r), np.asarray(f),
                                       err_msg=name)
+
+
+def test_observed_attempts_per_round_equivalence():
+    """Fusing N attempts per device dispatch (attempts_per_round) must not
+    change sampler statistics: same init states -> identical final chain
+    states as the 1-attempt-per-round driver, including chains that freeze
+    mid-fused-program at their epoch budget."""
+    from nshmc_tpu.hmc.engine import run_hmc_observed
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    cfg = HMCConfig(sigma_0=0.3, tau=1.0, epsilon=0.9, epochs=2, sampling=1,
+                    max_attempts=60)
+    loss_fn = _linear_gaussian_loss(a, y, 0.3)
+    states0 = init_chains(jax.random.PRNGKey(9), cfg, 8, SHAPE)
+
+    ref = run_hmc_observed(loss_fn, cfg, states0)
+    assert int(jnp.max(ref.attempts)) > int(jnp.min(ref.attempts)), \
+        "test needs heterogeneous per-chain attempt counts"
+    fused = run_hmc_observed(loss_fn, cfg, states0, attempts_per_round=3)
+
+    for name in ("epoch", "attempts", "accepted"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(fused, name)),
+            err_msg=name)
+    for name in ("x", "tau", "epsilon", "samples"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(fused, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name)
