@@ -303,7 +303,12 @@ def main():
     # served the executable (VERDICT r3 weak #3: record hit/miss outcome)
     cache_new = (_cache_entries() - cache_before
                  if cache_before >= 0 else None)
-    if not tiny:
+    # only record compile_s as this shape's cold-compile cost when the
+    # persistent cache did NOT serve the executable — a cache-hit time of a
+    # few seconds would permanently masquerade as the cold cost and let
+    # _auto_fuse pick a fuse whose true compile blows the budget on a fresh
+    # machine (ADVICE r4)
+    if not tiny and cache_new != 0:
         _fuse_cache_store(fuse_cache_key, fuse, compile_s)
 
     trace_dir = os.environ.get("BENCH_TRACE", "")

@@ -377,11 +377,10 @@ def run_pixel(opt):
                 states = init_chains(k_run, hmc_cfg, opt.chains, (d, d, c))
                 out = jax.jit(lambda s: run_hmc(loss_fn, hmc_cfg, s))(states)
             if opt.diagnostics and opt.chains > 1 and out.samples.shape[1] >= 4:
-                from .utils.diagnostics import summarize_chains
+                from .utils.diagnostics import summarize_chains, format_summary
 
                 diag = summarize_chains(np.asarray(out.samples))
-                print(f"  diagnostics: rhat_max={diag['rhat_max']:.3f} "
-                      f"ess_min={diag['ess_min']:.1f}")
+                print(f"  diagnostics: {format_summary(diag)}")
                 if own_artifacts:
                     with open(os.path.join(opt.image_folder,
                                            f"diagnostics_{idx}.json"),

@@ -103,9 +103,19 @@ def run_latent(opt):
     operator = build_operator(opt.deg, c, d, rng)
     sigma_0 = 2.0 * opt.sigma_0
 
+    from .parallel import multihost as mh
+
     files = im.list_dataset(
         getattr(opt, "data_path", "") or cfg["data"]["path"]
     )[opt.subset_start:opt.subset_end]
+    indexed_files = list(enumerate(files))
+    multiproc = mh.process_count() > 1
+    # same multi-host decomposition as the pixel CLI: a sharded chain mesh
+    # means every process cooperates on the SAME image; otherwise processes
+    # split the dataset
+    if multiproc and opt.mesh <= 1:
+        indexed_files = indexed_files[mh.process_index()::mh.process_count()]
+    own_artifacts = (not multiproc) or opt.mesh <= 1 or mh.is_primary()
     os.makedirs(opt.image_folder, exist_ok=True)
     stats = RunningStats()
     lpips_fn = None
@@ -118,7 +128,7 @@ def run_latent(opt):
     except Exception:
         pass
 
-    for idx, path in enumerate(files):
+    for idx, path in indexed_files:
         x01 = im.load_image(path, d)
         x_orig = im.data_transform(jnp.asarray(x01))[None]
         key = jax.random.PRNGKey(opt.seed + idx)
@@ -126,9 +136,11 @@ def run_latent(opt):
         y0 = operator.H_img(x_orig)
         y0 = y0 + sigma_0 * jax.random.normal(k_noise, y0.shape)
         y_pinv = operator.H_pinv_img(y0)
-        im.save_image(im.inverse_data_transform(y_pinv[0]),
-                      os.path.join(opt.image_folder, f"y0_{idx}.png"))
-        im.save_image(x01, os.path.join(opt.image_folder, f"orig_{idx}.png"))
+        if own_artifacts:
+            im.save_image(im.inverse_data_transform(y_pinv[0]),
+                          os.path.join(opt.image_folder, f"y0_{idx}.png"))
+            im.save_image(x01,
+                          os.path.join(opt.image_folder, f"orig_{idx}.png"))
 
         t0 = time.time()
         if opt.algo == "hmc_latent":
@@ -162,10 +174,29 @@ def run_latent(opt):
                         method=type(ldm_r.first_stage).decode)
                     return make_latent_loss_fn(dec_z, dec_x, op_, y_)
 
-                runner = make_sharded_latent_hmc(
-                    hmc_cfg, chain_mesh(opt.mesh), builder)
+                if multiproc:
+                    # --chains is the GLOBAL count: each process seeds its
+                    # local slice and lifts it into one global array over
+                    # the cross-host mesh (same contract as the pixel CLI)
+                    mesh = mh.global_chain_mesh(opt.mesh)
+                    local_n = opt.chains // mh.process_count()
+                    k_local = jax.random.fold_in(k_run, mh.process_index())
+                    local_states = init_latent_chains(
+                        k_local, hmc_cfg, local_n,
+                        (zd, zd, unet_cfg.in_channels))
+                    states = mh.make_global_chain_states(mesh, local_states)
+                else:
+                    mesh = chain_mesh(opt.mesh)
+                runner = make_sharded_latent_hmc(hmc_cfg, mesh, builder)
                 out = runner(ldm.unet_params, ldm.first_stage_params,
                              operator, y0[0], states)
+                if multiproc:
+                    from .cli import _allgather_chain_axis
+
+                    out = out.replace(
+                        samples=_allgather_chain_axis(mh, out.samples),
+                        n_kept=_allgather_chain_axis(mh, out.n_kept),
+                        z=_allgather_chain_axis(mh, out.z))
             elif (opt.checkpoint_dir or opt.verbose
                   or opt.driver == "observed"
                   or (opt.driver == "auto"
@@ -280,12 +311,14 @@ def run_latent(opt):
         dt = time.time() - t0
 
         samples01 = np.asarray(im.inverse_data_transform(jnp.asarray(samples)))
-        im.save_image(samples01[-1], os.path.join(opt.image_folder, f"{idx}.png"))
-        if samples01.shape[0] > 1:
-            im.save_std_dev_map(
-                samples01,
-                os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
-            )
+        if own_artifacts:
+            im.save_image(samples01[-1],
+                          os.path.join(opt.image_folder, f"{idx}.png"))
+            if samples01.shape[0] > 1:
+                im.save_std_dev_map(
+                    samples01,
+                    os.path.join(opt.image_folder, f"std_dev_map_{idx}.png"),
+                )
         orig01 = np.repeat(np.asarray(x01)[None], samples01.shape[0], 0)
         vals = {
             "psnr": np.asarray(psnr(jnp.asarray(samples01), jnp.asarray(orig01))),
@@ -299,8 +332,10 @@ def run_latent(opt):
         rec = {"idx": idx, "file": os.path.basename(path), "algo": opt.algo,
                "deg": opt.deg, "wall_s": round(dt, 2),
                **{k: float(np.mean(v)) for k, v in vals.items()}}
-        with open(os.path.join(opt.image_folder, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if own_artifacts:
+            with open(os.path.join(opt.image_folder, "metrics.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(rec) + "\n")
         print(f"[{idx}] {os.path.basename(path)}: "
               + ", ".join(f"{k}={np.mean(v):.4f}" for k, v in vals.items())
               + f"  ({dt:.1f}s)")

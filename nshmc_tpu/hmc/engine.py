@@ -330,9 +330,13 @@ def run_hmc_observed(
     apr = max(1, int(attempts_per_round))
 
     def one_attempt(lf, s):
-        """One guarded attempt: completed chains pass through untouched."""
+        """One guarded attempt: completed chains pass through untouched.
+        The freeze also bounds per-chain attempts at cfg.max_attempts
+        (mirroring run_chain's while condition) so fused rounds with
+        apr > 1 cannot push a never-converging chain past the attempt
+        budget mid-program (ADVICE r4)."""
         s2 = hmc_attempt(lf, cfg, s)
-        done = s.epoch >= cfg.total_epochs
+        done = (s.epoch >= cfg.total_epochs) | (s.attempts >= cfg.max_attempts)
         return jax.tree.map(lambda new, old: jnp.where(done, old, new), s2, s)
 
     def round_fn(la, s):
@@ -356,6 +360,7 @@ def run_hmc_observed(
             start_round = int(jnp.max(states.attempts))
 
     rnd = start_round
+    since_save = 0
     while rnd < cfg.max_attempts:
         if bool(jnp.all(states.epoch >= cfg.total_epochs)):
             break
@@ -363,9 +368,13 @@ def run_hmc_observed(
         rnd += apr
         if callback is not None:
             callback(states, rnd - 1)
-        if checkpoint_dir and (
-                (rnd - start_round) // apr) % max(1, checkpoint_every // apr) == 0:
+        # exact every-`checkpoint_every`-attempts cadence for all apr
+        # values (ADVICE r4: the old (rnd//apr) % (every//apr) form drifted
+        # when apr does not divide checkpoint_every)
+        since_save += apr
+        if checkpoint_dir and since_save >= checkpoint_every:
             save_chain_state(checkpoint_dir, states, step=0)
+            since_save = 0
     if checkpoint_dir:
         save_chain_state(checkpoint_dir, states, step=0)
     return states

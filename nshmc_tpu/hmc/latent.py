@@ -216,14 +216,18 @@ def run_latent_hmc_observed(
             start_round = int(jnp.max(states.attempt))
 
     rnd = start_round
+    since_save = 0
     while rnd < cfg.total_attempts:
         states = attempt(states)
         rnd += apr
         if callback is not None:
             callback(states, rnd - 1)
-        if checkpoint_dir and (
-                (rnd - start_round) // apr) % max(1, checkpoint_every // apr) == 0:
+        # exact every-`checkpoint_every`-attempts cadence for all apr
+        # values (ADVICE r4)
+        since_save += apr
+        if checkpoint_dir and since_save >= checkpoint_every:
             save_chain_state(checkpoint_dir, states, step=0)
+            since_save = 0
     if checkpoint_dir:
         save_chain_state(checkpoint_dir, states, step=0)
     return states

@@ -44,7 +44,17 @@ def split_rhat(draws: np.ndarray) -> np.ndarray:
     between = n * chain_mean.var(axis=0, ddof=1)     # (...)
     within = chain_var.mean(axis=0)                  # (...)
     var_plus = (n - 1) / n * within + between / n
-    rhat = np.sqrt(var_plus / np.maximum(within, 1e-300))
+    # Degeneracy guard (VERDICT r4 weak #4): frozen chains (every draw in a
+    # chain identical — an all-reject run) drive `within` -> 0 and a naive
+    # 1e-300 floor turns R-hat into a ~1e141 float. Report inf when chains
+    # are frozen at DIFFERENT values (no mixing, by construction), and 1.0
+    # when the parameter is globally constant (no information, no evidence
+    # of non-convergence).
+    constant = var_plus <= 1e-300
+    frozen = (within <= 1e-12 * var_plus) & ~constant
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / within)
+    rhat = np.where(constant, 1.0, np.where(frozen, np.inf, rhat))
     return rhat[..., 0] if squeeze else rhat
 
 
@@ -123,7 +133,12 @@ def summarize_chains(draws: np.ndarray, max_params: int = 64) -> dict:
     e = ess(sub)
     scalar_mean = flat.mean(axis=-1)
     scalar_m2 = (flat ** 2).mean(axis=-1)
-    return {
+    # frozen-chain detection: a chain whose draws are all identical carries
+    # zero within-chain information (all-reject runs); flag it explicitly
+    # instead of letting inf R-hats surprise the reader (VERDICT r4 weak #4)
+    chain_dead = (flat.astype(np.float64).var(axis=1) <= 1e-300).all(axis=-1)
+    n_frozen_params = int(np.isinf(r).sum())
+    out = {
         "n_chains": int(nc),
         "n_draws": int(nd),
         "rhat_max": float(np.nanmax(r)),
@@ -134,4 +149,19 @@ def summarize_chains(draws: np.ndarray, max_params: int = 64) -> dict:
         "ess_scalar_mean": float(ess(scalar_mean[..., None])[0]),
         "rhat_scalar_m2": float(split_rhat(scalar_m2[..., None])[0]),
         "ess_scalar_m2": float(ess(scalar_m2[..., None])[0]),
+        "n_frozen_chains": int(chain_dead.sum()),
+        "n_frozen_params": n_frozen_params,
+        "degenerate": bool(chain_dead.any() or n_frozen_params > 0),
     }
+    return out
+
+
+def format_summary(diag: dict) -> str:
+    """One-line human rendering with an explicit degenerate-chain message
+    (used by the CLI; keeps 140-digit floats out of run logs)."""
+    if diag.get("degenerate"):
+        return (f"rhat_max=inf ({diag['n_frozen_chains']}/{diag['n_chains']} "
+                f"chains frozen, {diag['n_frozen_params']} degenerate params "
+                "- all-reject or stuck chains; R-hat undefined)")
+    return (f"rhat_max={diag['rhat_max']:.3f} "
+            f"ess_min={diag['ess_min']:.1f}")

@@ -156,14 +156,22 @@ def main():
     ap.add_argument("--skip-latent", action="store_true")
     args = ap.parse_args()
 
+    # Machine-readable report, emitted in BOTH the run and skip paths
+    # (VERDICT r4 next #7). Schema (documented in RESULTS.md):
+    #   {"pixel"|"latent": {"status": "ok"|"fail"|"skipped", ...stage
+    #    fields: max_abs_fwd_diff, wall_s, summary (PSNR/SSIM/LPIPS means),
+    #    "searched": [paths] + "plan": str on skip}}
     results = {}
     pixel_ckpt = _find(PIXEL_CANDIDATES)
     if pixel_ckpt is None:
+        plan = ("port -> forward-parity gate (atol 2e-4) -> 1-image "
+                "flagship HMC (full reference budget) -> PSNR/SSIM/LPIPS "
+                "table")
         print("[real_weights_parity] SKIP pixel: no FFHQ ADM checkpoint "
               f"found (searched {[c for c in PIXEL_CANDIDATES if c]}).\n"
-              "  When models/ffhq_10m.pt exists this will run: port -> "
-              "forward-parity gate (atol 2e-4) -> 1-image flagship HMC "
-              "(full reference budget) -> PSNR/SSIM/LPIPS table.")
+              f"  When models/ffhq_10m.pt exists this will run: {plan}.")
+        results["pixel"] = {"status": "skipped", "plan": plan,
+                            "searched": [c for c in PIXEL_CANDIDATES if c]}
     else:
         results["pixel"] = run_pixel(pixel_ckpt, args.out + "_pixel",
                                      args.quick, args.atol)
@@ -172,20 +180,23 @@ def main():
     if args.skip_latent:
         pass
     elif latent_ckpt is None:
+        plan = "port_ldm_checkpoint -> 1-image hmc_latent -> metrics table"
         print("[real_weights_parity] SKIP latent: no LDM checkpoint found "
               f"(searched {[c for c in LATENT_CANDIDATES if c]}).\n"
-              "  When models/ldm/model.ckpt exists this will run: "
-              "port_ldm_checkpoint -> 1-image hmc_latent -> metrics table.")
+              f"  When models/ldm/model.ckpt exists this will run: {plan}.")
+        results["latent"] = {"status": "skipped", "plan": plan,
+                             "searched": [c for c in LATENT_CANDIDATES if c]}
     else:
         results["latent"] = run_latent(latent_ckpt, args.out + "_latent",
                                        args.quick)
 
-    if results:
-        outdir = os.path.join(ROOT, args.out)
-        os.makedirs(outdir, exist_ok=True)
-        with open(os.path.join(outdir, "real_weights_parity.json"), "w") as f:
-            json.dump(results, f, indent=1)
-    bad = [k for k, v in results.items() if v.get("status") != "ok"]
+    outdir = os.path.join(ROOT, args.out)
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "real_weights_parity.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("REAL_WEIGHTS_PARITY " + json.dumps(results))
+    bad = [k for k, v in results.items()
+           if v.get("status") not in ("ok", "skipped")]
     return 1 if bad else 0
 
 

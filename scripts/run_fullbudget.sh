@@ -8,15 +8,23 @@
 # Latent: 50 + 2x10 = 70 attempt budget (main_sampling_latent.py:628-630).
 #
 # Usage: scripts/run_fullbudget.sh [pixel|latent]
+#
+# APR (attempts_per_round) defaults to 7: fuses 7 MH attempts per device
+# dispatch in the observed driver, amortizing the measured ~6 s/attempt
+# host-sync overhead on the tunneled chip (r4 A/B: 689.6 s -> 535.5 s for
+# the same 100-attempt trail; statistics bitwise-unchanged — budget-done
+# chains freeze per attempt inside the fused program). Override: APR=1.
 set -u
 cd "$(dirname "$0")/.."
 mode="${1:-pixel}"
+APR="${APR:-7}"
 if [ "$mode" = "pixel" ]; then
   exec python -m nshmc_tpu.cli \
     --algo hmc --deg inpaint_random --timesteps 3 \
     --tau 1.0 --epsilon 0.05 --sigma_0 0.05 \
     --hmc_epochs 60 --hmc_sampling 20 --chains 8 \
     --driver observed --verbose --save_epochs --diagnostics \
+    --attempts_per_round "$APR" \
     --checkpoint-dir out/r4_fullbudget_ck -i out/r4_fullbudget \
     --seed 1234
 else
@@ -29,7 +37,7 @@ else
     --algo hmc_latent --deg inpaint_random --timesteps 3 \
     --tau 1.0 --epsilon 0.05 --sigma_0 0.05 \
     --latent_epochs 50 --latent_sampling 10 --chains 8 \
-    --verbose --save_epochs \
+    --verbose --save_epochs --attempts_per_round "$APR" \
     --checkpoint-dir out/r4_fullbudget_latent_ck -i out/r4_fullbudget_latent \
     --seed 1234
 fi

@@ -276,3 +276,46 @@ def test_multi_seed_distribution_parity():
     z = np.abs(mu_e - mu_m) / np.maximum(se, 1e-9)
     assert float(z.max()) < 5.0, (mu_e, mu_m, z)
     np.testing.assert_allclose(sd_e, sd_m, rtol=0.5)
+
+
+def test_rhat_frozen_chains_report_inf():
+    """Frozen (all-reject) chains stuck at DIFFERENT values must report
+    R-hat = inf + an explicit degenerate flag, not a ~1e141 float (VERDICT
+    r4 weak #4: the full-budget run log printed rhat_max=1e141)."""
+    from nshmc_tpu.utils.diagnostics import (
+        split_rhat, summarize_chains, format_summary,
+    )
+
+    # 4 chains x 8 identical draws each, frozen at distinct values
+    draws = np.repeat(np.arange(4.0)[:, None], 8, axis=1)[..., None]
+    r = split_rhat(draws)
+    assert np.isinf(r).all(), r
+
+    diag = summarize_chains(np.repeat(draws, 3, axis=-1))
+    assert diag["degenerate"] is True
+    assert diag["n_frozen_chains"] == 4
+    assert diag["n_frozen_params"] > 0
+    line = format_summary(diag)
+    assert "frozen" in line and "e1" not in line, line
+
+
+def test_rhat_constant_parameter_is_one():
+    """A parameter identical across ALL chains and draws (e.g. a hard-pinned
+    coordinate) carries no convergence evidence: R-hat = 1, not inf/NaN."""
+    from nshmc_tpu.utils.diagnostics import split_rhat
+
+    draws = np.full((4, 8, 1), 3.7)
+    np.testing.assert_array_equal(split_rhat(draws), 1.0)
+
+
+def test_rhat_healthy_chains_unaffected_by_guard():
+    """The degeneracy guard must not perturb R-hat for healthy draws."""
+    from nshmc_tpu.utils.diagnostics import split_rhat, summarize_chains
+
+    rng = np.random.default_rng(0)
+    draws = rng.standard_normal((4, 256, 3))
+    r = split_rhat(draws)
+    assert np.all(np.isfinite(r)) and np.all(np.abs(r - 1.0) < 0.1), r
+    diag = summarize_chains(draws)
+    assert diag["degenerate"] is False
+    assert diag["n_frozen_chains"] == 0

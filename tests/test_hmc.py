@@ -312,3 +312,55 @@ def test_observed_attempts_per_round_equivalence():
         np.testing.assert_allclose(
             np.asarray(getattr(ref, name)), np.asarray(getattr(fused, name)),
             rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_observed_apr_respects_max_attempts():
+    """With attempts_per_round > 1, unconverged chains must still stop at
+    cfg.max_attempts exactly (ADVICE r4 medium: the per-attempt freeze only
+    checked the epoch budget, so a never-accepting chain could run up to
+    apr-1 attempts past the bound inside a fused program)."""
+    from nshmc_tpu.hmc.engine import run_hmc_observed
+
+    def never_accept_loss(x):
+        # infinite energy -> log_ratio is NaN -> every proposal rejects
+        return jnp.inf * jnp.sum(x**2), x
+
+    # max_attempts=5 NOT divisible by apr=3: old code ran 6 attempts
+    cfg = HMCConfig(sigma_0=0.3, tau=0.2, epsilon=0.1, epochs=1, sampling=1,
+                    max_attempts=5)
+    states0 = init_chains(jax.random.PRNGKey(0), cfg, 2, SHAPE)
+    out = run_hmc_observed(never_accept_loss, cfg, states0,
+                           attempts_per_round=3)
+    np.testing.assert_array_equal(np.asarray(out.attempts), 5)
+    np.testing.assert_array_equal(np.asarray(out.accepted), 0)
+
+
+def test_observed_checkpoint_cadence_exact(tmp_path, monkeypatch):
+    """Checkpoint cadence is every `checkpoint_every` ATTEMPTS for all apr
+    values (ADVICE r4 low: the old (rnd//apr) % (every//apr) form saved
+    every 9 attempts for apr=3, every=10)."""
+    import nshmc_tpu.hmc.engine as eng
+    from nshmc_tpu.utils import checkpointing as ck
+
+    saves = []
+    monkeypatch.setattr(
+        ck, "save_chain_state",
+        lambda d, s, step=0: saves.append(int(jnp.max(s.attempts))))
+    monkeypatch.setattr(ck, "load_chain_state",
+                        lambda d, s, step=0: None)
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    cfg = HMCConfig(sigma_0=0.3, tau=1.0, epsilon=0.9, epochs=8, sampling=4,
+                    max_attempts=60)
+    loss_fn = _linear_gaussian_loss(a, y, 0.3)
+    states0 = init_chains(jax.random.PRNGKey(2), cfg, 2, SHAPE)
+    eng.run_hmc_observed(loss_fn, cfg, states0, checkpoint_dir=str(tmp_path),
+                         checkpoint_every=10, attempts_per_round=3)
+    # cadence saves land at attempts 12, 24, ... — the first multiple of
+    # apr that accumulates 10 attempts since the last save (the old
+    # formula's first save was at 9 for apr=3). The tail saves (chains
+    # finish mid-stride, plus the final unconditional save) saturate at
+    # the completion attempt count.
+    assert len(saves) >= 2 and saves[0] == 12 and saves[1] == 24, saves
