@@ -189,8 +189,15 @@ def main():
     # super-linearly with depth (t=5 unrolled: 1783.8 s,
     # perf_results.jsonl cfg-inpaint_t5) — default to the scan ladder for
     # deeper ladders unless explicitly overridden.
+    # BENCH_UNROLL: auto | 0 (scan) | 1 (full static unroll) | k>=2 (scan
+    # with k steps inlined per iteration — the chunked middle ground)
     unroll_env = os.environ.get("BENCH_UNROLL", "auto")
-    unroll = (timesteps <= 3) if unroll_env == "auto" else unroll_env != "0"
+    if unroll_env == "auto":
+        unroll = True if timesteps <= 3 else 2
+    elif unroll_env in ("0", "1"):
+        unroll = unroll_env == "1"
+    else:
+        unroll = int(unroll_env)
     remat_min_res = int(os.environ.get("BENCH_REMAT_MIN_RES", "128"))
     save_gn_stats = os.environ.get("BENCH_SAVE_GN_STATS", "0") == "1"
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
@@ -488,8 +495,13 @@ def latent_main(batch: int, iters: int, tiny: bool = False):
                                     z + 1e-6 * (salt * iters + i))
                 return out
 
+            trace_dir = os.environ.get("BENCH_TRACE", "")
+            if trace_dir:
+                jax.profiler.start_trace(trace_dir)
             dt, block_times, _, _ = _measure_blocks(
                 run_block, iters, fuse, b, best_recorded=None)
+            if trace_dir:
+                jax.profiler.stop_trace()
             break
         except Exception as e:  # relay transport / OOM: back off
             last_err = e

@@ -109,18 +109,25 @@ def get_parser():
                         "dispatch (amortizes per-round host syncs on "
                         "tunneled chips; statistics unchanged, callback/"
                         "checkpoint granularity coarsens)")
+    p.add_argument("--chain_chunk", type=int, default=0,
+                   help="observed driver: serve chains in sequential "
+                        "device waves of this size inside each attempt "
+                        "program (chunked-chain serving — run chain "
+                        "counts past the vmap memory knee, e.g. 64 "
+                        "phase-retrieval chains as 8 waves of 8 on one "
+                        "chip; statistics unchanged)")
     p.add_argument("--data_path", default="",
                    help="override the config's data.path (e.g. run the "
                         "latent CelebA-HQ config against the shipped FFHQ "
                         "test images when CelebA-HQ is unobtainable)")
     p.add_argument("--unroll_ladder", default="auto",
-                   choices=["auto", "0", "1"],
-                   help="DDIM ladder form: statically unrolled (1) vs "
-                        "lax.scan + per-step remat (0). auto = unroll only "
-                        "for timesteps<=3 — measured tradeoff at t=5: "
-                        "unrolled 0.35 s/eval but 1784 s relay compile, "
-                        "scan 0.50 s/eval at 49-294 s compile (break-even "
-                        "~10k evals; perf_results.jsonl)")
+                   help="DDIM ladder form: 1 = statically unrolled, 0 = "
+                        "lax.scan + per-step remat, k>=2 = scan with k "
+                        "steps inlined per iteration (chunked unroll). "
+                        "auto = full unroll for timesteps<=3, chunk-2 "
+                        "beyond — measured at t=5: unrolled 0.35 s/eval "
+                        "but 1784 s relay compile, scan 0.50 s/eval at "
+                        "49-294 s compile (perf_results.jsonl)")
     return p
 
 
@@ -129,16 +136,27 @@ def load_config(path):
         return yaml.safe_load(f)
 
 
-def ladder_unroll(opt) -> bool:
-    """DDIM ladder form auto-select (VERDICT r3 item 7): statically
-    unrolled wins at runtime (+23% at t=3, +43% at t=5) but its compile
-    cost grows super-linearly with depth (t=5: 1784 s through the relay vs
-    49-294 s for the scan+remat ladder; scripts/perf_results.jsonl) —
-    unroll only short ladders unless --unroll_ladder overrides."""
-    mode = getattr(opt, "unroll_ladder", "auto")
+def ladder_unroll(opt):
+    """DDIM ladder form auto-select (VERDICT r3 item 7 / r4 next #4):
+    statically unrolled wins at runtime (+23% at t=3, +43% at t=5) but its
+    compile cost grows super-linearly with depth (t=5: 1784 s through the
+    relay vs 49-294 s for the scan+remat ladder;
+    scripts/perf_results.jsonl) — full-unroll short ladders, CHUNK-unroll
+    deeper ones (scan with k steps inlined per iteration: most of the
+    fusion win at a fraction of the program size). Returns True (full
+    unroll), an int k>=2 (chunked), or False (plain scan);
+    --unroll_ladder 0|1|k overrides."""
+    mode = str(getattr(opt, "unroll_ladder", "auto"))
     if mode == "auto":
-        return opt.timesteps <= 3
-    return mode == "1"
+        if opt.timesteps <= 3:
+            return True
+        # deep ladders: chunk-unroll pairs of steps (r5 hardware A/B:
+        # t=5 chunk-2 recovers unrolled-level throughput at scan-level
+        # compile cost; BASELINE.md round-5 section)
+        return 2
+    if mode in ("0", "1"):
+        return mode == "1"
+    return int(mode)
 
 
 def _allgather_chain_axis(mh, arr):
@@ -357,6 +375,7 @@ def run_pixel(opt):
                     loss_builder=loss_builder,
                     loss_args=(params, y0[0]),
                     attempts_per_round=getattr(opt, "attempts_per_round", 1),
+                    chain_chunk=getattr(opt, "chain_chunk", 0),
                 )
                 if trail["epoch"] and own_artifacts:
                     with open(os.path.join(opt.image_folder,

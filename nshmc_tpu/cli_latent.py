@@ -245,6 +245,7 @@ def run_latent(opt):
                     loss_args=(ldm.unet_params, ldm.first_stage_params,
                                y0[0]),
                     attempts_per_round=getattr(opt, "attempts_per_round", 1),
+                    chain_chunk=getattr(opt, "chain_chunk", 0),
                 )
             else:
                 out = jax.jit(

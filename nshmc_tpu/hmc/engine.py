@@ -293,6 +293,25 @@ def run_hmc_multi(loss_fn_builder, cfg: HMCConfig, states: ChainState, y0s):
     return jax.vmap(per_image)(states, y0s)
 
 
+def _attempt_chains(attempt_one, states, chain_chunk: int):
+    """vmap `attempt_one` over the chain axis, optionally serving chains in
+    sequential waves of `chain_chunk` via lax.map (chunked-chain serving:
+    bounds the activation high-water mark to one wave while keeping the
+    whole chain population in one device program)."""
+    n = jax.tree.leaves(states)[0].shape[0]
+    if chain_chunk <= 0 or n <= chain_chunk:
+        return jax.vmap(attempt_one)(states)
+    if n % chain_chunk != 0:
+        raise ValueError(
+            f"chain count {n} not divisible by chain_chunk {chain_chunk}")
+    w = n // chain_chunk
+    waves = jax.tree.map(
+        lambda a: a.reshape((w, chain_chunk) + a.shape[1:]), states)
+    out = jax.lax.map(lambda sw: jax.vmap(attempt_one)(sw), waves)
+    return jax.tree.map(
+        lambda a: a.reshape((n,) + a.shape[2:]), out)
+
+
 def run_hmc_observed(
     loss_fn: LossFn,
     cfg: HMCConfig,
@@ -303,6 +322,7 @@ def run_hmc_observed(
     loss_builder=None,
     loss_args=(),
     attempts_per_round: int = 1,
+    chain_chunk: int = 0,
 ):
     """Host-observed multi-chain HMC: a Python loop over jitted lockstep
     attempt rounds, invoking `callback(states, round)` after each round (for
@@ -324,7 +344,14 @@ def run_hmc_observed(
     RESULTS.md round 4). Chains that reach their epoch budget mid-program
     freeze in place (same masking the host loop applies between rounds),
     so sampler statistics are UNCHANGED; only the callback/checkpoint
-    granularity coarsens."""
+    granularity coarsens.
+
+    `chain_chunk` > 0 serves chains in sequential device waves of that
+    size inside each program (lax.map over a (waves, chunk, ...) reshape):
+    the memory high-water mark is one chunk's activations, so chain counts
+    far past the vmap memory knee (e.g. the 64-chain phase-retrieval
+    config, BASELINE.json #4) run on one chip. Statistics are unchanged —
+    chains are independent; only device scheduling changes."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
 
     apr = max(1, int(attempts_per_round))
@@ -343,7 +370,8 @@ def run_hmc_observed(
         lf = loss_builder(*la) if loss_builder is not None else loss_fn
 
         def body(i, ss):
-            return jax.vmap(lambda si: one_attempt(lf, si))(ss)
+            return _attempt_chains(lambda si: one_attempt(lf, si), ss,
+                                   chain_chunk)
 
         if apr == 1:
             return body(0, s)

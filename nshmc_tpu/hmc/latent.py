@@ -171,6 +171,7 @@ def run_latent_hmc_observed(
     loss_builder=None,
     loss_args=(),
     attempts_per_round: int = 1,
+    chain_chunk: int = 0,
 ) -> LatentChainState:
     """Host-observed latent HMC: a Python loop over jitted lockstep attempt
     rounds (one device call per attempt, ~L+1 energy evals each), invoking
@@ -184,8 +185,12 @@ def run_latent_hmc_observed(
     loss inside jit from explicit array args so the LDM weight pytrees
     (~1 GB fp32) are jit arguments, NOT closure constants baked into the
     HLO — the constants path overflowed the remote-compile relay's request
-    limit (HTTP 413) on the tunneled chip."""
+    limit (HTTP 413) on the tunneled chip.
+
+    `chain_chunk` > 0: chunked-chain serving (sequential device waves of
+    that size per attempt; see engine.run_hmc_observed)."""
     from ..utils.checkpointing import save_chain_state, load_chain_state
+    from .engine import _attempt_chains
 
     apr = max(1, int(attempts_per_round))
 
@@ -199,7 +204,8 @@ def run_latent_hmc_observed(
         lf = loss_builder(*la) if loss_builder is not None else loss_fn
 
         def body(i, ss):
-            return jax.vmap(lambda si: one_attempt(lf, si))(ss)
+            return _attempt_chains(lambda si: one_attempt(lf, si), ss,
+                                   chain_chunk)
 
         if apr == 1:
             return body(0, s)

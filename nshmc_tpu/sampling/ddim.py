@@ -45,7 +45,7 @@ def ddim_step(model_fn: ModelFn, schedule: DiffusionSchedule,
 
 def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
                 seq: DDIMSequence, x: jnp.ndarray,
-                unroll: bool = False,
+                unroll=False,
                 scan_remat: bool = True) -> jnp.ndarray:
     """Unroll the full DDIM ladder x_T -> x_0 as a lax.scan.
 
@@ -58,7 +58,13 @@ def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
     larger HLO but no dynamic-slice/loop-state traffic and cross-step fusion;
     at 3 steps this is a perf knob, numerics are identical.
 
-    scan_remat (scan path only) wraps each step in jax.checkpoint so
+    unroll=k (int >= 2) is the CHUNKED middle ground (VERDICT r4 next #4):
+    a lax.scan whose body inlines k steps per loop iteration (lax.scan's
+    native `unroll`), recovering most of the cross-step fusion of the full
+    unroll at ~k/T of its program size — the full t=5 unroll costs 1784 s
+    through the remote-compile relay; the scan costs 0.7x the throughput.
+
+    scan_remat (scan paths only) wraps each step in jax.checkpoint so
     reverse-mode AD stores just the per-step carry (one x_t) instead of
     stacked per-step residuals: without it the scan backward materializes
     every step's saved activations simultaneously and the 256^2 flagship
@@ -67,12 +73,13 @@ def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
     residuals). Composes with the U-Net's internal remat policy.
     """
     pairs = seq.reversed_pairs()
-    if unroll:
+    if unroll is True:
         xt = x
         for t, t_next in pairs.tolist():
             xt, _ = ddim_step(model_fn, schedule, xt,
                               jnp.int32(t), jnp.int32(t_next))
         return xt
+    chunk = int(unroll) if unroll else 1
     pairs = jnp.asarray(pairs)
 
     def body(xt, pair):
@@ -81,14 +88,16 @@ def ddim_decode(model_fn: ModelFn, schedule: DiffusionSchedule,
 
     if scan_remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, x, pairs)
+    out, _ = jax.lax.scan(body, x, pairs, unroll=max(1, chunk))
     return out
 
 
 def make_decoder(model_fn: ModelFn, schedule: DiffusionSchedule,
-                 seq: DDIMSequence, unroll: bool = False,
+                 seq: DDIMSequence, unroll=False,
                  scan_remat: bool = True):
-    """Close over model/schedule: returns decode(x_T) -> x_0 (batch NHWC)."""
+    """Close over model/schedule: returns decode(x_T) -> x_0 (batch NHWC).
+    `unroll`: False/1 = scan, True = full static unroll, int k>=2 = scan
+    with k steps inlined per iteration (chunked unroll)."""
 
     def decode(x):
         return ddim_decode(model_fn, schedule, seq, x, unroll=unroll,

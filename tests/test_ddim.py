@@ -63,3 +63,42 @@ def test_vjp_through_decoder():
     e[0, 3, 3, 1] = 1e-3
     fd = (loss(x + jnp.asarray(e)) - loss(x - jnp.asarray(e))) / 2e-3
     np.testing.assert_allclose(float(fd), float(g[0, 3, 3, 1]), rtol=2e-2, atol=1e-4)
+
+
+def test_ladder_forms_numerically_identical():
+    """scan, chunk-unrolled scan (k=2,3), and full static unroll must agree
+    bitwise-close in both value and input-gradient — the ladder form is a
+    perf knob only (VERDICT r4 next #4)."""
+    sched = DiffusionSchedule.create(num_timesteps=100)
+    seq = DDIMSequence.create(100, 5)
+
+    def model_fn(x, t):
+        return 0.1 * x * (1.0 + t[:, None, None, None] / 100.0)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 4, 3)),
+                    jnp.float32)
+
+    def loss(x, unroll):
+        return jnp.sum(ddim_decode(model_fn, sched, seq, x,
+                                   unroll=unroll) ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(lambda x: loss(x, False))(x)
+    for form in (2, 3, True):
+        v, g = jax.value_and_grad(lambda x: loss(x, form))(x)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-6,
+                                   err_msg=str(form))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(form))
+
+
+def test_ladder_unroll_autoselect():
+    """CLI auto-select: full unroll at t<=3, chunk-2 beyond; explicit
+    overrides parse to bool/int."""
+    from types import SimpleNamespace
+    from nshmc_tpu.cli import ladder_unroll
+
+    assert ladder_unroll(SimpleNamespace(timesteps=3, unroll_ladder="auto")) is True
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="auto")) == 2
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="0")) is False
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="1")) is True
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="3")) == 3

@@ -364,3 +364,34 @@ def test_observed_checkpoint_cadence_exact(tmp_path, monkeypatch):
     # finish mid-stride, plus the final unconditional save) saturate at
     # the completion attempt count.
     assert len(saves) >= 2 and saves[0] == 12 and saves[1] == 24, saves
+
+
+def test_observed_chain_chunk_equivalence():
+    """Chunked-chain serving (sequential device waves per attempt) must be
+    bitwise-identical to the plain vmapped driver — chains are independent,
+    only device scheduling changes (BASELINE.json config #4: 64-chain
+    serving on one chip)."""
+    from nshmc_tpu.hmc.engine import run_hmc_observed
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, DIM), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(DIM), jnp.float32)
+    cfg = HMCConfig(sigma_0=0.3, tau=1.0, epsilon=0.9, epochs=2, sampling=1,
+                    max_attempts=40)
+    loss_fn = _linear_gaussian_loss(a, y, 0.3)
+    states0 = init_chains(jax.random.PRNGKey(4), cfg, 16, SHAPE)
+
+    ref = run_hmc_observed(loss_fn, cfg, states0)
+    chunked = run_hmc_observed(loss_fn, cfg, states0, chain_chunk=4)
+    chunked_apr = run_hmc_observed(loss_fn, cfg, states0, chain_chunk=4,
+                                   attempts_per_round=3)
+    for out, label in ((chunked, "chunk"), (chunked_apr, "chunk+apr")):
+        for name in ("epoch", "attempts", "accepted"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(out, name)), err_msg=f"{label}:{name}")
+        for name in ("x", "tau", "epsilon", "samples"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(out, name)),
+                rtol=1e-5, atol=1e-6, err_msg=f"{label}:{name}")
