@@ -56,12 +56,13 @@ def _fuse_cache_store(key, field, value):
     rec = cache.setdefault(key, {})
     if isinstance(value, float):
         value = round(value, 4)
-    # compile-time entries (integer fuse fields) keep the BEST observed
-    # time: relay load varies compile cost ~10x for the same program
-    # (measured 95.9 s vs 976.8 s for the identical fuse-16 flagship), and
-    # a pessimistic entry would lock auto-fuse out of the winning fuse
-    # forever. best_evals_per_s keeps the max for the same reason.
-    if str(field).isdigit() and str(field) in rec:
+    # compile-time entries (integer fuse fields, warm_s) keep the BEST
+    # observed time: relay load varies compile cost ~10x for the same
+    # program (measured 95.9 s vs 976.8 s for the identical fuse-16
+    # flagship), and a pessimistic entry would lock auto-fuse out of the
+    # winning fuse forever. best_evals_per_s keeps the max for the same
+    # reason.
+    if (str(field).isdigit() or field == "warm_s") and str(field) in rec:
         value = min(value, rec[str(field)])
     rec[str(field)] = value
     try:
@@ -190,14 +191,22 @@ def main():
     # perf_results.jsonl cfg-inpaint_t5) — default to the scan ladder for
     # deeper ladders unless explicitly overridden.
     # BENCH_UNROLL: auto | 0 (scan) | 1 (full static unroll) | k>=2 (scan
-    # with k steps inlined per iteration — the chunked middle ground)
+    # with k steps inlined per iteration). auto resolves t<=3 -> full
+    # unroll here; deeper ladders are resolved against the compile-history
+    # cache after the shape is known (throughput-vs-compile-budget model,
+    # VERDICT r4 next #4).
     unroll_env = os.environ.get("BENCH_UNROLL", "auto")
     if unroll_env == "auto":
-        unroll = True if timesteps <= 3 else 2
+        unroll = True if timesteps <= 3 else None  # None: decide from cache
     elif unroll_env in ("0", "1"):
         unroll = unroll_env == "1"
     else:
         unroll = int(unroll_env)
+    # BENCH_SCAN_REMAT=0 drops the per-step jax.checkpoint on the scan
+    # ladder: backward then stacks every step's residuals (needs the
+    # internal U-Net remat policy to shrink them to fit HBM) but skips the
+    # whole-ladder forward recompute the checkpoint costs
+    scan_remat = os.environ.get("BENCH_SCAN_REMAT", "1") != "0"
     remat_min_res = int(os.environ.get("BENCH_REMAT_MIN_RES", "128"))
     save_gn_stats = os.environ.get("BENCH_SAVE_GN_STATS", "0") == "1"
     if os.environ.get("BENCH_MODE", "pixel") == "latent":
@@ -258,7 +267,7 @@ def main():
     # request limit this way — VERDICT r3 missing #1).
     def loss(p, x):
         decode = make_decoder(lambda xx, tt: model.apply(p, xx, tt), sched,
-                              seq, unroll=unroll)
+                              seq, unroll=unroll, scan_remat=scan_remat)
         x0 = decode(x)
         r = y0[None] - op.H_img(x0)
         return jnp.sum(r**2)
@@ -273,12 +282,35 @@ def main():
     # (probe-compiles a tiny program to gauge relay load only when no
     # history exists; caches decisions + measured compile times per shape).
     fuse_env = os.environ.get("BENCH_FUSE", "auto" if not tiny else "8")
+
+    if unroll is None:
+        # deep-ladder auto-select, measured at t=5 (perf_results.jsonl):
+        # full unroll 22.9 evals/s but 1784 s cold compile; scan 15.98 at
+        # 49-294 s; chunk-2 16.10 at 116 s (the 1.4x gap is the per-step
+        # jax.checkpoint forward recompute, NOT loop overhead — chunking
+        # keeps the recompute, and dropping it OOMs: 27.6/19.5/17.2 GB at
+        # remat_min_res 128/64/32 vs 15.75 HBM). Policy: full unroll when
+        # this host has EVER compiled it (persistent cache makes the
+        # recompile cheap — `warm_s`) or the recorded cold cost fits the
+        # budget; chunk-2 otherwise.
+        budget = float(os.environ.get("BENCH_COMPILE_BUDGET", "900"))
+        uknobs = (remat, gn_impl, True, save_gn_stats, remat_min_res,
+                  timesteps, scan_remat)
+        ukey = (f"{jax.default_backend()}_d{d}_b{batch}_"
+                + "-".join(str(k) for k in uknobs))
+        urec = _fuse_cache_load().get(ukey, {})
+        utimes = [v for k, v in urec.items() if str(k).isdigit()]
+        if "warm_s" in urec:
+            utimes.append(urec["warm_s"])
+        unroll = True if utimes and min(utimes) <= budget else 2
+
     vg = jax.value_and_grad(loss, argnums=1)
     fuse_cache_key = f"{jax.default_backend()}_d{d}_b{batch}"
     # non-default knobs get their own cache key (ADVICE r3: fuse-cache
     # entries must not mix configs with different compile/runtime behavior)
-    knobs = (remat, gn_impl, unroll, save_gn_stats, remat_min_res, timesteps)
-    if knobs != ("big", "chan", True, False, 128, 3):
+    knobs = (remat, gn_impl, unroll, save_gn_stats, remat_min_res, timesteps,
+             scan_remat)
+    if knobs != ("big", "chan", True, False, 128, 3, True):
         fuse_cache_key += "_" + "-".join(str(k) for k in knobs)
     if fuse_env == "auto":
         fuse = _auto_fuse(
@@ -314,9 +346,14 @@ def main():
     # persistent cache did NOT serve the executable — a cache-hit time of a
     # few seconds would permanently masquerade as the cold cost and let
     # _auto_fuse pick a fuse whose true compile blows the budget on a fresh
-    # machine (ADVICE r4)
-    if not tiny and cache_new != 0:
-        _fuse_cache_store(fuse_cache_key, fuse, compile_s)
+    # machine (ADVICE r4). Cache-hit times go under `warm_s` instead: they
+    # tell the auto-select what a RE-compile of this config costs while the
+    # persistent cache holds it.
+    if not tiny:
+        if cache_new != 0:
+            _fuse_cache_store(fuse_cache_key, fuse, compile_s)
+        else:
+            _fuse_cache_store(fuse_cache_key, "warm_s", compile_s)
 
     trace_dir = os.environ.get("BENCH_TRACE", "")
     if trace_dir:
@@ -366,6 +403,7 @@ def main():
         "remat_min_res": remat_min_res,
         "gn_impl": gn_impl,
         "unroll": unroll,
+        "scan_remat": scan_remat,
         "save_gn_stats": save_gn_stats,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -390,7 +428,9 @@ def main():
                     "evals_per_s": round(evals_per_s, 4),
                     "compile_s": round(compile_s, 1),
                     "host_load_suspected": host_load_suspected,
-                    "timesteps": timesteps, "unroll": unroll}) + "\n")
+                    "timesteps": timesteps, "unroll": unroll,
+                    "scan_remat": scan_remat,
+                    "remat_min_res": remat_min_res}) + "\n")
         except Exception:
             pass
 

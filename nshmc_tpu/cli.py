@@ -150,13 +150,44 @@ def ladder_unroll(opt):
     if mode == "auto":
         if opt.timesteps <= 3:
             return True
-        # deep ladders: chunk-unroll pairs of steps (r5 hardware A/B:
-        # t=5 chunk-2 recovers unrolled-level throughput at scan-level
-        # compile cost; BASELINE.md round-5 section)
+        # deep ladders: the r5 hardware A/B showed the scan's 1.4x gap is
+        # the per-step jax.checkpoint forward recompute (chunk-2 16.10 ==
+        # scan 15.98 evals/s at t=5; dropping the checkpoint OOMs at every
+        # internal remat level; full unroll 22.63). Full unroll when this
+        # host's compile history proves it affordable (163-204 s measured
+        # cold — the r3 1784 s was relay-load noise — and the persistent
+        # cache amortizes repeats); chunk-2 otherwise (bounded compile).
+        hist = _unrolled_compile_history(opt.timesteps)
+        if hist is not None and hist <= 900:
+            return True
         return 2
     if mode in ("0", "1"):
         return mode == "1"
     return int(mode)
+
+
+def _unrolled_compile_history(timesteps: int):
+    """Best recorded compile time (s) of a fully-unrolled ladder at this
+    depth on this host (scripts/bench_fuse_cache.json, written by bench.py;
+    knob-suffix format remat-gn-unroll-savegn-minres-timesteps-scanremat)."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "bench_fuse_cache.json")
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except Exception:
+        return None
+    best = None
+    for key, rec in cache.items():
+        knobs = key.split("_")[-1].split("-")
+        if len(knobs) < 7 or knobs[2] != "True" or knobs[5] != str(timesteps):
+            continue
+        times = [v for k, v in rec.items() if str(k).isdigit()]
+        if "warm_s" in rec:
+            times.append(rec["warm_s"])
+        if times:
+            best = min(times) if best is None else min(best, min(times))
+    return best
 
 
 def _allgather_chain_axis(mh, arr):

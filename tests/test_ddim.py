@@ -91,14 +91,32 @@ def test_ladder_forms_numerically_identical():
                                    rtol=1e-5, atol=1e-6, err_msg=str(form))
 
 
-def test_ladder_unroll_autoselect():
-    """CLI auto-select: full unroll at t<=3, chunk-2 beyond; explicit
-    overrides parse to bool/int."""
+def test_ladder_unroll_autoselect(monkeypatch):
+    """CLI auto-select: full unroll at t<=3; for deeper ladders, full
+    unroll when this host's compile history proves it affordable, chunk-2
+    otherwise; explicit overrides parse to bool/int."""
     from types import SimpleNamespace
+    import nshmc_tpu.cli as cli
     from nshmc_tpu.cli import ladder_unroll
 
     assert ladder_unroll(SimpleNamespace(timesteps=3, unroll_ladder="auto")) is True
+    monkeypatch.setattr(cli, "_unrolled_compile_history", lambda t: None)
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="auto")) == 2
+    monkeypatch.setattr(cli, "_unrolled_compile_history", lambda t: 163.6)
+    assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="auto")) is True
+    monkeypatch.setattr(cli, "_unrolled_compile_history", lambda t: 1783.8)
     assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="auto")) == 2
     assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="0")) is False
     assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="1")) is True
     assert ladder_unroll(SimpleNamespace(timesteps=5, unroll_ladder="3")) == 3
+
+
+def test_unrolled_compile_history_reader():
+    """The history reader parses the real fuse-cache format (the t=5
+    unrolled row recorded on this host in round 5)."""
+    from nshmc_tpu.cli import _unrolled_compile_history
+
+    best = _unrolled_compile_history(5)
+    if best is not None:  # file present in repo: must be a sane time
+        assert 0 < best < 3600
+    assert _unrolled_compile_history(99) is None
