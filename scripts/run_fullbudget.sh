@@ -10,10 +10,11 @@
 # Usage: scripts/run_fullbudget.sh [pixel|latent]
 #
 # APR (attempts_per_round) defaults to 7: fuses 7 MH attempts per device
-# dispatch in the observed driver, amortizing the measured ~6 s/attempt
-# host-sync overhead on the tunneled chip (r4 A/B: 689.6 s -> 535.5 s for
-# the same 100-attempt trail; statistics bitwise-unchanged — budget-done
-# chains freeze per attempt inside the fused program). Override: APR=1.
+# dispatch in the observed driver, amortizing the measured ~1.26 s/attempt
+# host-sync tax (r5 warm-compile ladder: 5.94 s/attempt at apr=1 -> 4.92
+# at apr=7, 1.17x wall; apr>=21 is killed by the relay's execution limit;
+# statistics bitwise-unchanged — budget-done chains freeze per attempt
+# inside the fused program). Override: APR=1. See BASELINE.md round-5.
 set -u
 cd "$(dirname "$0")/.."
 mode="${1:-pixel}"
